@@ -1,0 +1,180 @@
+"""The run loop: plan → extract/convert → quality-check → LWW dedup → fenced
+MERGE → checkpoint (≈ AbstractJobLauncher.launchJob,
+gobblin-runtime/.../AbstractJobLauncher.java:433-554, re-expressed as one
+DataFrame expression chain per planned batch).
+
+Exactly-once (SURVEY §3.3): the applied-offset watermarks are committed inside
+the same atomic manifest swap as the data (table properties), so
+
+- a crash before commit leaves no trace → the batch replays;
+- a crash after commit → the replayed batch is fenced out (ranges ≤ committed
+  watermark ⇒ skip, ≈ IcebergMetadataWriter.java:1098-1121);
+- even a *partially* overlapping replay is safe, because the MERGE guard
+  (strictly-newer (warc_ts, log_offset)) makes re-applying any already-applied
+  event a no-op.
+
+The state store (FsStateStore analog) is a fast-path mirror; the table's own
+properties are authoritative and state is re-derived from them when the store
+is missing or tampered with.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import lww_latest
+from .extract import extract_text_udf
+from .lake import SnapshotTable
+from .metrics import lineage_entry, observe_batch, observe_updates
+from .planner import OffsetRange, discover_high_watermarks, plan_batches, range_predicate
+from .state import StateStore
+
+# changelog bookkeeping columns that do not land in the target table
+_META_COLS = ("op", "log_partition", "log_offset")
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        state_store: StateStore | None = None,
+        job_id: str = "cdc",
+        errors_path: str | None = None,
+        extract: bool = True,
+    ):
+        self.spark = spark
+        self.table = table
+        self.state = state_store
+        self.job_id = job_id
+        self.errors_path = errors_path
+        self.extract = extract
+
+    # ------------------------------------------------------------ watermarks
+    def committed_watermarks(self) -> dict[int, int]:
+        """Authoritative committed high watermarks, from the table's own
+        properties (survives loss of the state store)."""
+        wm = self.table.properties.get("watermarks", {})
+        return {int(k): int(v) for k, v in wm.items()}
+
+    # ----------------------------------------------------------------- plan
+    def plan(
+        self, changelog: DataFrame, max_events_per_batch: int | None = None
+    ) -> list[list[OffsetRange]]:
+        available = discover_high_watermarks(changelog)
+        return plan_batches(available, self.committed_watermarks(), max_events_per_batch)
+
+    # ---------------------------------------------------------------- apply
+    def apply_batch(
+        self, changelog: DataFrame, ranges: list[OffsetRange], batch_id: str | None = None
+    ) -> dict:
+        t0 = time.monotonic()
+        committed = self.committed_watermarks()
+        if all(r.high <= committed.get(r.partition, -1) for r in ranges):
+            # replay fence: this exact work was already committed (≈
+            # IcebergMetadataWriter skip on offset ≤ table-property watermark)
+            return {"batch_id": batch_id, "skipped": True}
+
+        seq = int(self.table.properties.get("batch_seq", -1)) + 1
+        batch_id = batch_id or f"{self.job_id}-{seq:06d}"
+
+        batch = changelog.filter(range_predicate(ranges))
+        batch, read_obs = observe_batch(batch, f"read-{batch_id}")
+
+        # row-level quality policies (≈ RowLevelPolicyChecker; FAIL→ERR_FILE
+        # diversion semantics: gobblin-api/.../row/RowLevelPolicy.java:33-68)
+        ok = (
+            F.col("url").isNotNull()
+            & F.col("op").isin("I", "U", "D")
+            & (F.col("warc_ts").isNotNull())
+            & ((F.col("op") == "D") | F.col("html").isNotNull())
+        )
+        n_errors = 0
+        if self.errors_path:
+            batch = batch.persist()
+            errors = batch.filter(~ok)
+            n_errors = errors.count()
+            if n_errors:
+                errors.write.mode("append").parquet(self.errors_path)
+        valid = batch.filter(ok)
+
+        # converter slot: vectorized text extraction for upserts
+        if self.extract:
+            valid = valid.withColumn(
+                "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+            )
+
+        # LWW per key — guarantees ≤1 source row per target key for the MERGE
+        latest = lww_latest(valid, ["url"], ["warc_ts", "log_offset"])
+        visible = [c for c in latest.columns if c not in _META_COLS]
+        updates = latest.select(
+            *visible,
+            F.col("warc_ts").alias("_version_ts"),
+            F.col("log_offset").alias("_version_off"),
+            (F.col("op") == F.lit("D")).alias("_deleted"),
+        )
+        updates, upd_obs = observe_updates(updates, f"upd-{batch_id}")
+
+        # merged watermarks: advance applied ranges, carry everything else
+        wm = {str(p): v for p, v in committed.items()}
+        for r in ranges:
+            wm[str(r.partition)] = max(r.high, committed.get(r.partition, -1))
+
+        # lineage rides the SAME commit as data + watermarks (one atomic swap)
+        lineage = lineage_entry(batch_id, ranges, {}, self.table.version + 1)
+        props = {
+            "watermarks": wm,
+            "batch_seq": seq,
+            "last_batch_id": batch_id,
+            "last_lineage": lineage,
+        }
+        result = self.table.merge(updates, properties=props)
+        metrics = {**read_obs.get, **upd_obs.get}
+        metrics["quality_errors"] = n_errors
+        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+        lineage["metrics"] = metrics
+        if self.errors_path:
+            batch.unpersist()
+        if self.state:
+            self.state.put(
+                self.job_id,
+                {
+                    "job_id": self.job_id,
+                    "batch_id": batch_id,
+                    "watermarks": wm,
+                    "counts": metrics,
+                    "snapshot_version": result["version"],
+                    "lineage": lineage,
+                },
+            )
+        return {"batch_id": batch_id, "skipped": False, **result, **metrics}
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        changelog: DataFrame | str,
+        max_events_per_batch: int | None = None,
+        max_batches: int | None = None,
+    ) -> list[dict]:
+        """Incremental apply loop: plan from committed watermarks, apply each
+        batch, commit, repeat. Safe to re-run any time (idempotent)."""
+        if isinstance(changelog, str):
+            changelog = self.spark.read.parquet(changelog)
+        batches = self.plan(changelog, max_events_per_batch)
+        if max_batches is not None:
+            batches = batches[:max_batches]
+        return [self.apply_batch(changelog, ranges) for ranges in batches]
+
+    def bootstrap(self, pages: DataFrame) -> dict:
+        """Load an initial snapshot (version = (warc_ts, -1) so any changelog
+        event for the same url with a newer version wins)."""
+        updates = pages.select(
+            "*",
+            F.col("warc_ts").alias("_version_ts"),
+            F.lit(-1).cast("long").alias("_version_off"),
+            F.lit(False).alias("_deleted"),
+        )
+        return self.table.merge(updates)

@@ -1,0 +1,311 @@
+"""Snapshot/manifest parquet table with atomic commit, table properties,
+schema evolution, and bucket-pruned MERGE — the engine's exactly-once sink.
+
+This is the sandbox stand-in for an Iceberg table (no Iceberg runtime jar is
+available here); it deliberately reproduces the parts of Iceberg the reference
+relies on (gobblin-iceberg/.../writer/IcebergMetadataWriter.java):
+
+- **atomic commit** — data files are written first, then a new manifest
+  ``meta/v{N}.json``, then the ``meta/_current`` pointer is swapped with an
+  atomic rename (≈ transaction.commitTransaction(), IcebergMetadataWriter.java:893).
+  A crash before the swap leaves only unreferenced files; the batch replays.
+- **table properties carried with the commit** — per-partition applied offset
+  watermarks live in the manifest itself, so replay fencing state is committed
+  atomically with the data (≈ offset-range props, IcebergMetadataWriter.java:384-434,872-878).
+- **schema evolution** — each data-file group records its schema id; readers
+  cast old groups to the current schema (≈ computeCandidateSchema/updateSchema,
+  IcebergMetadataWriter.java:455,1039).
+- **hidden layout partitioning** — rows are stored in ``n_buckets`` hash
+  buckets of the merge key, so a MERGE touches only affected buckets
+  (partition pruning); at 100 TB this is what keeps an upsert from rewriting
+  the table. On a real cluster the same layout enables storage-partitioned
+  joins (no target-side shuffle).
+
+Rows carry hidden columns ``_version_ts, _version_off, _deleted``: deletes are
+kept as tombstones that remember their version, so a replayed/late update with
+an older (warc_ts, log_offset) cannot resurrect a deleted row (SURVEY §7 "hard
+parts"). ``compact()`` drops tombstones once they are no longer needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import conform, merge_schemas
+
+HIDDEN_FIELDS = [
+    T.StructField("_version_ts", T.TimestampType(), True),
+    T.StructField("_version_off", T.LongType(), True),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+HIDDEN = [f.name for f in HIDDEN_FIELDS]
+
+
+def _with_hidden(visible: T.StructType) -> T.StructType:
+    return T.StructType(list(visible.fields) + HIDDEN_FIELDS)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest: dict | None = None
+
+    # ---------------------------------------------------------------- meta
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: str = "url",
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(root, "meta"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        manifest = {
+            "format_version": 1,
+            "version": 0,
+            "key": key,
+            "n_buckets": n_buckets,
+            "current_schema_id": 0,
+            "schemas": {"0": schema.jsonValue()},
+            "buckets": {},
+            "properties": properties or {},
+            "parent": None,
+        }
+        t._commit(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "meta", "_current"))
+
+    def manifest(self) -> dict:
+        if self._manifest is None:
+            with open(os.path.join(self.root, "meta", "_current")) as f:
+                v = int(f.read().strip())
+            with open(os.path.join(self.root, "meta", f"v{v:06d}.json")) as f:
+                self._manifest = json.load(f)
+        return self._manifest
+
+    @property
+    def version(self) -> int:
+        return self.manifest()["version"]
+
+    @property
+    def properties(self) -> dict:
+        return self.manifest()["properties"]
+
+    @property
+    def key(self) -> str:
+        return self.manifest()["key"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest()["n_buckets"]
+
+    def schema(self) -> T.StructType:
+        m = self.manifest()
+        return T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
+
+    def _schema_for(self, schema_id: int) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schemas"][str(schema_id)])
+
+    def bucket_expr(self, col: str | None = None):
+        """Deterministic layout bucket of the merge key (xxhash64, the same
+        function Spark uses executor-side — no driver involvement)."""
+        return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
+
+    def _commit(self, manifest: dict) -> None:
+        meta = os.path.join(self.root, "meta")
+        os.makedirs(meta, exist_ok=True)
+        path = os.path.join(meta, f"v{manifest['version']:06d}.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(path + ".tmp", path)
+        fd, tmp = tempfile.mkstemp(dir=meta)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(manifest["version"]))
+        os.replace(tmp, os.path.join(meta, "_current"))  # THE atomic commit point
+        self._manifest = manifest
+
+    def update_properties(self, delta: dict) -> None:
+        """Metadata-only commit (≈ change_property GMCE)."""
+        m = dict(self.manifest())
+        m["properties"] = {**m["properties"], **delta}
+        m["parent"] = m["version"]
+        m["version"] += 1
+        self._commit(m)
+
+    # ---------------------------------------------------------------- read
+    def read(self, buckets: list[int] | None = None, include_hidden: bool = False) -> DataFrame:
+        """Scan, pruned to ``buckets`` when given. Data-file groups written
+        under older schemas are cast (widen/null-fill) to the current schema
+        — the Iceberg read-time schema-resolution model."""
+        m = self.manifest()
+        full = _with_hidden(self.schema())
+        entries: dict[tuple[str, int], list[str]] = {}
+        for b, e in m["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            entries.setdefault((e["data"], e["schema_id"]), []).append(
+                os.path.join(self.root, e["data"], f"_bucket={b}")
+            )
+        parts: list[DataFrame] = []
+        for (_, schema_id), paths in entries.items():
+            stored = _with_hidden(self._schema_for(schema_id))
+            df = self.spark.read.schema(stored).parquet(*paths)
+            parts.append(conform(df, full))
+        if not parts:
+            out = self.spark.createDataFrame([], full)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_hidden:
+            out = out.filter(~F.col("_deleted")).drop(*HIDDEN)
+        return out
+
+    def read_visible(self) -> DataFrame:
+        return self.read()
+
+    # --------------------------------------------------------------- merge
+    def merge(self, updates: DataFrame, properties: dict | None = None) -> dict:
+        """Idempotent LWW MERGE (the PySpark re-expression of
+        ``MERGE INTO t USING u ON t.key = u.key WHEN MATCHED AND u.version >
+        t.version THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT``).
+
+        Preconditions: ``updates`` has ≤1 row per key (run LWW dedup first —
+        also an Iceberg MERGE requirement) and carries the hidden version
+        columns. Deletes arrive as rows with ``_deleted=true``.
+
+        Scale shape: only buckets containing updated keys are read and
+        rewritten (bucket pruning); the full-outer join keys on
+        (_bucket, key) so AQE can split skewed buckets; everything else in the
+        table is carried forward by manifest reference, zero data movement.
+        """
+        m = self.manifest()
+        upd_visible = T.StructType([f for f in updates.schema.fields if f.name not in HIDDEN])
+        new_schema = merge_schemas(self.schema(), upd_visible)
+        schema_changed = new_schema != self.schema()
+        schema_id = m["current_schema_id"] + (1 if schema_changed else 0)
+        full = _with_hidden(new_schema)
+
+        key = self.key
+        names = full.fieldNames()
+        u = conform(updates, full).withColumn("_bucket", self.bucket_expr())
+        affected = sorted(r["_bucket"] for r in u.select("_bucket").distinct().collect())
+        u = u.select([F.col(c).alias(f"u_{c}") for c in [*names, "_bucket"]])
+        tgt = conform(self.read(buckets=affected, include_hidden=True), full)
+        tgt = tgt.withColumn("_bucket", self.bucket_expr()).select(
+            [F.col(c).alias(f"t_{c}") for c in [*names, "_bucket"]]
+        )
+
+        joined = tgt.join(
+            u,
+            (F.col("t__bucket") == F.col("u__bucket")) & (F.col(f"t_{key}") == F.col(f"u_{key}")),
+            "full_outer",
+        )
+        u_newer = F.col("u__version_off").isNotNull() & (
+            F.col("t__version_off").isNull()
+            | (
+                F.struct(F.col("u__version_ts"), F.col("u__version_off"))
+                > F.struct(F.col("t__version_ts"), F.col("t__version_off"))
+            )
+        )
+        out_cols = [
+            F.when(u_newer, F.col(f"u_{c}")).otherwise(F.col(f"t_{c}")).alias(c) for c in names
+        ]
+        merged = joined.select(
+            F.coalesce(F.col("t__bucket"), F.col("u__bucket")).alias("_bucket"), *out_cols
+        )
+
+        new_version = m["version"] + 1
+        data_rel = f"data/v{new_version:06d}"
+        out_path = os.path.join(self.root, data_rel)
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
+
+        new_buckets = dict(m["buckets"])
+        for b in affected:
+            new_buckets[str(b)] = {"data": data_rel, "schema_id": schema_id}
+        schemas = dict(m["schemas"])
+        if schema_changed:
+            schemas[str(schema_id)] = new_schema.jsonValue()
+        manifest = {
+            **m,
+            "version": new_version,
+            "parent": m["version"],
+            "current_schema_id": schema_id,
+            "schemas": schemas,
+            "buckets": new_buckets,
+            "properties": {**m["properties"], **(properties or {})},
+        }
+        self._commit(manifest)
+        return {
+            "version": new_version,
+            "affected_buckets": affected,
+            "schema_changed": schema_changed,
+        }
+
+    # --------------------------------------------------------- maintenance
+    def compact(self, drop_tombstones: bool = True, properties: dict | None = None) -> dict:
+        """Rewrite all live buckets into one snapshot dir (≈ Gobblin compaction
+        / Iceberg rewrite_data_files): merges small files, optionally expires
+        tombstones (safe once all replayable ranges are fenced by watermarks)."""
+        m = self.manifest()
+        df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
+        if drop_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        new_version = m["version"] + 1
+        data_rel = f"data/v{new_version:06d}"
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
+        written = [
+            d.split("=", 1)[1]
+            for d in os.listdir(os.path.join(self.root, data_rel))
+            if d.startswith("_bucket=")
+        ]
+        manifest = {
+            **m,
+            "version": new_version,
+            "parent": m["version"],
+            "buckets": {b: {"data": data_rel, "schema_id": m["current_schema_id"]} for b in written},
+            "properties": {**m["properties"], **(properties or {})},
+        }
+        self._commit(manifest)
+        return {"version": new_version, "buckets": len(written)}
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Retention (≈ TimeBasedRetentionPolicy / Iceberg expire_snapshots):
+        delete manifests older than the last ``keep_last`` and any data dirs
+        they alone reference."""
+        meta = os.path.join(self.root, "meta")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        keep_dirs: set[str] = set()
+        for v in keep:
+            with open(os.path.join(meta, f"v{v:06d}.json")) as f:
+                mv = json.load(f)
+            keep_dirs |= {e["data"] for e in mv["buckets"].values()}
+        removed = []
+        for v in versions:
+            if v in keep:
+                continue
+            os.unlink(os.path.join(meta, f"v{v:06d}.json"))
+            removed.append(v)
+        data = os.path.join(self.root, "data")
+        for d in os.listdir(data):
+            if f"data/{d}" not in keep_dirs:
+                shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+        return removed

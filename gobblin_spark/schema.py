@@ -1,0 +1,67 @@
+"""Schema evolution: union-by-name merge with widening (≈ IcebergMetadataWriter
+candidate-schema computation + updateSchema,
+gobblin-iceberg/.../writer/IcebergMetadataWriter.java:455,1039-1078; mid-stream
+analog KafkaSchemaChangeInjector.java:53-77).
+
+Rules (Iceberg-compatible): new columns are appended nullable; int→long,
+float→double widening allowed; anything else incompatible raises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WIDEN = {
+    ("integer", "long"): "long",
+    ("float", "double"): "double",
+    ("date", "timestamp"): "timestamp",
+}
+
+
+def _merge_type(old: T.DataType, new: T.DataType, path: str) -> T.DataType:
+    if old == new:
+        return old
+    key = (old.typeName(), new.typeName())
+    rkey = (new.typeName(), old.typeName())
+    if key in _WIDEN:
+        return new
+    if rkey in _WIDEN:
+        return old
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        return merge_schemas(old, new)
+    raise ValueError(f"incompatible schema change at {path}: {old} -> {new}")
+
+
+def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Union-by-name; old column order preserved, new columns appended."""
+    fields: list[T.StructField] = []
+    new_by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        if f.name in new_by_name:
+            merged = _merge_type(f.dataType, new_by_name[f.name].dataType, f.name)
+            fields.append(T.StructField(f.name, merged, True))
+        else:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    old_names = {f.name for f in old.fields}
+    for f in new.fields:
+        if f.name not in old_names:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def conform(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto target schema: missing columns become typed nulls,
+    present columns are cast (widening only, by construction)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            col = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                col = col.cast(f.dataType)
+            cols.append(col.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
