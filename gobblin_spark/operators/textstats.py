@@ -1,0 +1,80 @@
+"""Text analysis over a documents table: token counting, quality scoring,
+language-ID heuristic, fingerprinting.
+
+Everything is built from JVM-side expressions (split / higher-order array
+functions / md5) so it whole-stage-codegens — no Python in the hot path.
+Ratios are returned as exact integers (basis points via integer division) so
+results are bit-identical across engines (no float rounding hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# language marker words for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens_expr(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + char count per document."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_text"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality signals.
+
+    Ratios are integer basis points (x10000, integer division) — exact."""
+    toks = tokens_expr(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.floor(F.length(F.col(text_col)) * F.lit(10000) / n_tokens).alias("mean_token_len_bp"),
+        F.floor(n_stop * F.lit(10000) / n_tokens).alias("stopword_bp"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count each language's marker tokens,
+    pick the max (ties broken by language code order); 'und' when no marker
+    hits. Deterministic CASE logic, reproducible in ANSI SQL."""
+    toks = tokens_expr(text_col)
+
+    def marker_count(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    best_count = F.greatest(*counts.values())
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(counts[lang] == best_count, F.lit(lang)).otherwise(guess)
+    guess = F.when(best_count == 0, F.lit("und")).otherwise(guess)
+    return docs.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint (hex md5 prefix) — the cheap exact-dup key."""
+    return docs.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(text_col)), 1, 16).alias("fp64"),
+    )
