@@ -27,8 +27,13 @@ from gobblin_spark.operators.dedup_families import (
     simhash_near_dup_pairs,
 )
 from gobblin_spark.operators.fork import fork_counts
-from gobblin_spark.operators.multimodal import binary_meta
-from gobblin_spark.operators.similarity import cosine_topk, ivf_topk
+from gobblin_spark.operators.multimodal import binary_meta, extract_features, sample_frames
+from gobblin_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from gobblin_spark.operators.textstats import fingerprint, lang_id, quality_score, token_stats
 
 DELETE_TYPE = "error"  # event_type that plays the changelog 'D' op
@@ -208,6 +213,99 @@ def q_writer_time_partitioning(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_conv_json_decode(spark, sf_dir):
+    """Envelope/JSON payload decode (≈ EnvelopeSchemaConverter /
+    JsonStringToJsonIntermediateConverter, gobblin-modules/gobblin-kafka-common/
+    .../converter/EnvelopeSchemaConverter.java:114-138): parse the props JSON
+    column, lift the typed field."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("_p"),
+    )
+    return parsed.select("event_id", F.col("_p.k").cast("long").alias("prop_k"))
+
+
+def q_conv_string_split(spark, sf_dir):
+    """1:N record split (≈ StringSplitterConverter, gobblin-core/.../string/
+    StringSplitterConverter.java): explode text into tokens, count per token."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def q_cdc_size_estimator(spark, sf_dir):
+    """Per-partition record-size stats feeding batch sizing / salt factor
+    (≈ KafkaAvgRecordSizeBasedWorkUnitSizeEstimator, gobblin-modules/
+    gobblin-kafka-common/.../packer/KafkaAvgRecordSizeBasedWorkUnitSizeEstimator.java)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "log_partition", F.pmod(F.col("user_id"), F.lit(8)).cast("long")
+    )
+    rec_bytes = F.octet_length("props") + F.octet_length("event_type") + F.lit(24)
+    return ev.groupBy("log_partition").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(rec_bytes).cast("long").alias("total_bytes"),
+        F.floor(F.sum(rec_bytes) * F.lit(100) / F.count(F.lit(1))).alias("avg_bytes_x100"),
+    )
+
+
+_HTML_PREFIX = (
+    '<html><head><title>doc</title><script>var t = 1 &amp;&amp; 2;</script>'
+    "<style>.m{color:red}</style></head><body><nav><ul><li>Home</li><li>Docs</li>"
+    '</ul></nav><div id="main"><h1>Title &quot;q&quot;</h1><p>'
+)
+_HTML_SUFFIX = "</p></div><footer>contact &lt;ops&gt; &amp; legal</footer></body></html>"
+
+
+def q_extract_html_text(spark, sf_dir):
+    """The engine's converter-slot html→text extraction (vectorized Arrow
+    pandas_udf, gobblin_spark/extract.py) — verified byte-identical against an
+    independent regex engine (DuckDB RE2) applying the same substitution
+    pipeline. Html is synthesized deterministically from the documents table
+    in both engines."""
+    from gobblin_spark.extract import extract_text_udf
+
+    docs = _docs(spark, sf_dir)
+    html = F.encode(
+        F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)), "utf-8"
+    )
+    return docs.select("doc_id", extract_text_udf(html).alias("text_out"))
+
+
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    return embedding_neardup_pairs(_emb(spark, sf_dir), min_sim_x10k=4500)
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    # hyperplane-LSH approximate variant; recall vs cosine_topk in tests
+    emb = _emb(spark, sf_dir)
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over binary payloads (STUB decode, real mapInPandas
+    plumbing): aggregate the deterministic 16-dim fake features."""
+    docs = _docs(spark, sf_dir)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    feats = extract_features(payloads)
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-frame sampling fan-out (STUB decode, real 1:N mapInPandas
+    plumbing): frames per doc with deterministic pseudo frame count."""
+    docs = _docs(spark, sf_dir)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    frames = sample_frames(payloads, every_n=10)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 # --------------------------------------------------- training-data pipeline
 
 
@@ -232,12 +330,14 @@ def q_docs_fingerprint(spark, sf_dir):
 
 
 def q_docs_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, min_jaccard_bp=6000)
+    # n=20 char shingles: selective enough that prefix filtering keeps the
+    # candidate join linear-ish even on tiny-vocabulary corpora
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=20, min_jaccard_bp=6000)
 
 
 def q_docs_minhash_neardup(spark, sf_dir):
     # no SQL oracle (hash-family not expressible in ANSI SQL): rows-only check
-    return minhash_near_dup_pairs(_docs(spark, sf_dir), n=5, k=32, bands=8, min_jaccard_bp=6000)
+    return minhash_near_dup_pairs(_docs(spark, sf_dir), n=20, k=32, bands=8, min_jaccard_bp=6000)
 
 
 def q_docs_simhash_neardup(spark, sf_dir):
@@ -288,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compaction_stats": q_cdc_compaction_stats,
         "cdc_retention_filter": q_cdc_retention_filter,
         "writer_time_partitioning": q_writer_time_partitioning,
+        "cdc_size_estimator": q_cdc_size_estimator,
+        "conv_json_decode": q_conv_json_decode,
+        "conv_string_split": q_conv_string_split,
+        "extract_html_text": q_extract_html_text,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality_score": q_docs_quality_score,
@@ -298,7 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_neardup": q_emb_neardup,
+        "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_binary_stats": q_multimodal_binary_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -312,8 +420,8 @@ def _marker_count(markers: list[str]) -> str:
 
 _JACCARD_SQL = """
 WITH dsh AS (
-  SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), 5) AS sh
-  FROM documents d, LATERAL unnest(range(1, greatest(length(d.text)-4, 1)+1)) AS t(i)
+  SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), 20) AS sh
+  FROM documents d, LATERAL unnest(range(1, greatest(length(d.text)-19, 1)+1)) AS t(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 common AS (
@@ -343,6 +451,43 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+
+_BLOCK_TAG_PAT = (
+    r"</?(?:p|div|h[1-6]|li|ul|ol|br|hr|tr|td|th|table|thead|tbody|"
+    r"section|article|blockquote|title|head|body|html|main|figure)\b[^>]*/?>"
+)
+
+
+def _extract_sql(input_expr: str) -> str:
+    """DuckDB (RE2) replication of gobblin_spark.extract._STEPS — the same
+    ordered substitution pipeline, with the backreference container pattern
+    expanded per tag (RE2 has no backrefs). Independent-engine witness of the
+    byte-identical-extraction invariant."""
+    steps: list[tuple[str, str, str]] = [
+        (r"<!--.*?-->", " ", "gs"),
+        *[
+            (rf"<{t}\b[^>]*>.*?</{t}\s*>", " ", "gis")
+            for t in ("script", "style", "nav", "footer", "header", "aside")
+        ],
+        (_BLOCK_TAG_PAT, "\n", "gis"),
+        (r"<[^>]*>", " ", "gs"),
+        (r"&nbsp;", " ", "g"),
+        (r"&lt;", "<", "g"),
+        (r"&gt;", ">", "g"),
+        (r"&quot;", '"', "g"),
+        (r"&#39;", "'", "g"),
+        (r"&amp;", "&", "g"),
+        (r"[ \t\r\f\v]+", " ", "g"),
+        (r" ?\n ?", "\n", "g"),
+        (r"\n+", "\n", "g"),
+    ]
+    expr = input_expr
+    for pat, repl, flags in steps:
+        pat_sql = pat.replace("'", "''")
+        repl_sql = "e'\\n'" if repl == "\n" else "'" + repl.replace("'", "''") + "'"
+        expr = f"regexp_replace({expr}, '{pat_sql}', {repl_sql}, '{flags}')"
+    return f"trim({expr}, ' ' || e'\\n')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,6 +543,44 @@ def oracle_sql() -> dict[str, str]:
         "writer_time_partitioning": """
             SELECT strftime(ts, '%Y/%m/%d/%H') AS time_partition, count(*) AS n_rows
             FROM events GROUP BY 1
+        """,
+        "cdc_size_estimator": """
+            SELECT user_id % 8 AS log_partition, count(*) AS n_events,
+                   CAST(sum(strlen(props) + strlen(event_type) + 24) AS BIGINT)
+                     AS total_bytes,
+                   CAST((sum(strlen(props) + strlen(event_type) + 24) * 100) // count(*)
+                     AS BIGINT) AS avg_bytes_x100
+            FROM events GROUP BY 1
+        """,
+        "conv_json_decode": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+        """,
+        "conv_string_split": f"""
+            SELECT x AS token, count(*) AS n_occurrences
+            FROM (SELECT unnest({_TOKENS}) AS x FROM documents) GROUP BY x
+        """,
+        "extract_html_text": (
+            "SELECT doc_id, "
+            + _extract_sql(
+                "'"
+                + _HTML_PREFIX.replace("'", "''")
+                + "' || text || '"
+                + _HTML_SUFFIX.replace("'", "''")
+                + "'"
+            )
+            + " AS text_out FROM documents"
+        ),
+        "emb_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 4500/10000.0
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies

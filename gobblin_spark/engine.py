@@ -71,6 +71,44 @@ class CdcEngine:
     def apply_batch(
         self, changelog: DataFrame, ranges: list[OffsetRange], batch_id: str | None = None
     ) -> dict:
+        batch = changelog.filter(range_predicate(ranges))
+        return self._apply(batch, ranges, batch_id)
+
+    def apply_stream_batch(self, batch_df: DataFrame, batch_id: str | None = None) -> dict:
+        """Apply a Structured Streaming micro-batch (foreachBatch body).
+
+        The micro-batch IS the work unit (≈ FlushControlMessage boundary,
+        SURVEY §2.11); ranges are derived from the batch's own per-partition
+        max offsets, and rows at offsets ≤ the committed watermark are fenced
+        out — engine-level exactly-once layered on top of (and independent of)
+        the stream checkpoint."""
+        committed = self.committed_watermarks()
+        highs = {
+            int(r["log_partition"]): int(r["high"])
+            for r in batch_df.groupBy("log_partition")
+            .agg(F.max("log_offset").alias("high"))
+            .collect()
+        }
+        ranges = [
+            OffsetRange(p, committed.get(p, -1), h)
+            for p, h in sorted(highs.items())
+            if h > committed.get(p, -1)
+        ]
+        if not ranges:
+            return {"batch_id": batch_id, "skipped": True}
+        batch = batch_df.filter(range_predicate(ranges))
+        # use_observe=False: Observation.get blocks on a query-completion
+        # listener that cannot be serviced from inside the foreachBatch
+        # callback thread (deadlock); stream metrics come from the ranges
+        return self._apply(batch, ranges, batch_id, use_observe=False)
+
+    def _apply(
+        self,
+        batch: DataFrame,
+        ranges: list[OffsetRange],
+        batch_id: str | None,
+        use_observe: bool = True,
+    ) -> dict:
         t0 = time.monotonic()
         committed = self.committed_watermarks()
         if all(r.high <= committed.get(r.partition, -1) for r in ranges):
@@ -80,9 +118,9 @@ class CdcEngine:
 
         seq = int(self.table.properties.get("batch_seq", -1)) + 1
         batch_id = batch_id or f"{self.job_id}-{seq:06d}"
-
-        batch = changelog.filter(range_predicate(ranges))
-        batch, read_obs = observe_batch(batch, f"read-{batch_id}")
+        read_obs = upd_obs = None
+        if use_observe:
+            batch, read_obs = observe_batch(batch, f"read-{batch_id}")
 
         # row-level quality policies (≈ RowLevelPolicyChecker; FAIL→ERR_FILE
         # diversion semantics: gobblin-api/.../row/RowLevelPolicy.java:33-68)
@@ -101,22 +139,50 @@ class CdcEngine:
                 errors.write.mode("append").parquet(self.errors_path)
         valid = batch.filter(ok)
 
-        # converter slot: vectorized text extraction for upserts
+        # ONE exchange for the whole apply: hash-repartition on the target's
+        # layout bucket, then LWW keyed by (_bucket, url) — bucket is a pure
+        # function of url, so semantics are unchanged, but Catalyst sees the
+        # bucket partitioning satisfies the groupBy, the downstream MERGE join,
+        # AND the bucketed write (no further shuffles of the update stream).
+        bucketed = valid.withColumn("_bucket", self.table.bucket_expr("url")).repartition(
+            self.table.n_buckets, F.col("_bucket")
+        )
+        latest = lww_latest(bucketed, ["_bucket", "url"], ["warc_ts", "log_offset"])
+
+        # converter slot: vectorized text extraction — AFTER dedup, so the
+        # Arrow/pandas UDF runs once per surviving key (duplicates, lost race
+        # versions and deletes never reach Python) and the extracted text
+        # never rides the shuffle
         if self.extract:
-            valid = valid.withColumn(
+            latest = latest.withColumn(
                 "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
             )
-
-        # LWW per key — guarantees ≤1 source row per target key for the MERGE
-        latest = lww_latest(valid, ["url"], ["warc_ts", "log_offset"])
-        visible = [c for c in latest.columns if c not in _META_COLS]
+        visible = [c for c in latest.columns if c not in _META_COLS and c != "_bucket"]
         updates = latest.select(
             *visible,
             F.col("warc_ts").alias("_version_ts"),
             F.col("log_offset").alias("_version_off"),
             (F.col("op") == F.lit("D")).alias("_deleted"),
+            F.col("_bucket"),
         )
-        updates, upd_obs = observe_updates(updates, f"upd-{batch_id}")
+        if use_observe:
+            updates, upd_obs = observe_updates(updates, f"upd-{batch_id}")
+
+        # affected-bucket discovery from the raw batch scan: column-pruned
+        # (url only) and shuffle-free, vs deriving it from `updates` which
+        # would re-run the LWW shuffle a second time per batch. When the batch
+        # is far larger than the bucket count, every bucket is touched with
+        # near-certainty (coupon collector) — skip the discovery job entirely.
+        n_buckets = self.table.n_buckets
+        if sum(r.count for r in ranges) >= 64 * n_buckets:
+            affected = list(range(n_buckets))
+        else:
+            affected = [
+                r["_b"]
+                for r in batch.select(
+                    self.table.bucket_expr("url").alias("_b")
+                ).distinct().collect()
+            ]
 
         # merged watermarks: advance applied ranges, carry everything else
         wm = {str(p): v for p, v in committed.items()}
@@ -131,8 +197,10 @@ class CdcEngine:
             "last_batch_id": batch_id,
             "last_lineage": lineage,
         }
-        result = self.table.merge(updates, properties=props)
-        metrics = {**read_obs.get, **upd_obs.get}
+        result = self.table.merge(updates, properties=props, affected=affected)
+        metrics = {**read_obs.get, **upd_obs.get} if use_observe else {
+            "offsets_applied": sum(r.count for r in ranges)
+        }
         metrics["quality_errors"] = n_errors
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
         lineage["metrics"] = metrics

@@ -180,7 +180,12 @@ class SnapshotTable:
         return self.read()
 
     # --------------------------------------------------------------- merge
-    def merge(self, updates: DataFrame, properties: dict | None = None) -> dict:
+    def merge(
+        self,
+        updates: DataFrame,
+        properties: dict | None = None,
+        affected: list[int] | None = None,
+    ) -> dict:
         """Idempotent LWW MERGE (the PySpark re-expression of
         ``MERGE INTO t USING u ON t.key = u.key WHEN MATCHED AND u.version >
         t.version THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT``).
@@ -189,13 +194,23 @@ class SnapshotTable:
         also an Iceberg MERGE requirement) and carries the hidden version
         columns. Deletes arrive as rows with ``_deleted=true``.
 
-        Scale shape: only buckets containing updated keys are read and
-        rewritten (bucket pruning); the full-outer join keys on
-        (_bucket, key) so AQE can split skewed buckets; everything else in the
-        table is carried forward by manifest reference, zero data movement.
+        Scale shape (single-shuffle-per-side merge): each side is hash
+        repartitioned ONCE on ``_bucket``; the full-outer join keys on
+        (_bucket, key), and because HashPartitioning(_bucket) clusters every
+        join key pair, Spark's EnsureRequirements recognizes both sides as
+        co-partitioned — no further exchange for the join, and none for the
+        bucketed write either (FileFormatWriter imposes no distribution; each
+        task holds whole buckets, so the commit produces one file per bucket,
+        not #tasks × #buckets slivers). Callers that pre-partition ``updates``
+        on a ``_bucket`` column (the engine does: repartition → LWW groupBy
+        (_bucket, key) rides the same exchange) pay ZERO extra shuffle here.
+        Only affected buckets are read and rewritten; the rest of the table is
+        carried forward by manifest reference, zero data movement.
         """
         m = self.manifest()
-        upd_visible = T.StructType([f for f in updates.schema.fields if f.name not in HIDDEN])
+        upd_visible = T.StructType(
+            [f for f in updates.schema.fields if f.name not in HIDDEN and f.name != "_bucket"]
+        )
         new_schema = merge_schemas(self.schema(), upd_visible)
         schema_changed = new_schema != self.schema()
         schema_id = m["current_schema_id"] + (1 if schema_changed else 0)
@@ -203,13 +218,26 @@ class SnapshotTable:
 
         key = self.key
         names = full.fieldNames()
-        u = conform(updates, full).withColumn("_bucket", self.bucket_expr())
-        affected = sorted(r["_bucket"] for r in u.select("_bucket").distinct().collect())
+        if "_bucket" in updates.columns:
+            # pre-partitioned by the caller — keep the ORIGINAL attribute so
+            # Catalyst still sees the exchange's hash partitioning
+            u = conform(updates, full, keep=["_bucket"])
+        else:
+            u = conform(updates, full).withColumn("_bucket", self.bucket_expr())
+            u = u.repartition(self.n_buckets, F.col("_bucket"))
+        if affected is None:
+            # callers that know the batch can pass `affected` computed from the
+            # raw scan (cheap, column-pruned); deriving it from `updates` here
+            # replays updates' whole upstream plan (incl. any dedup shuffle)
+            affected = sorted(r["_bucket"] for r in u.select("_bucket").distinct().collect())
+        else:
+            affected = sorted(set(affected))
         u = u.select([F.col(c).alias(f"u_{c}") for c in [*names, "_bucket"]])
         tgt = conform(self.read(buckets=affected, include_hidden=True), full)
-        tgt = tgt.withColumn("_bucket", self.bucket_expr()).select(
-            [F.col(c).alias(f"t_{c}") for c in [*names, "_bucket"]]
+        tgt = tgt.withColumn("_bucket", self.bucket_expr()).repartition(
+            self.n_buckets, F.col("_bucket")
         )
+        tgt = tgt.select([F.col(c).alias(f"t_{c}") for c in [*names, "_bucket"]])
 
         joined = tgt.join(
             u,
@@ -268,6 +296,7 @@ class SnapshotTable:
             df = df.filter(~F.col("_deleted"))
         new_version = m["version"] + 1
         data_rel = f"data/v{new_version:06d}"
+        df = df.repartition(self.n_buckets, F.col("_bucket"))
         df.write.mode("overwrite").partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
         written = [
             d.split("=", 1)[1]

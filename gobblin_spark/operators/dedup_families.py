@@ -55,6 +55,64 @@ def with_shingles(
     return docs.select(F.col(id_col).alias("id"), F.array_distinct(arr).alias("shingles"))
 
 
+def _sized_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingles, n_sh), persisted — the shared base for candidate
+    generation, signatures, and verification (computed once per query)."""
+    sh = with_shingles(docs, id_col, text_col, n)
+    return sh.select("id", "shingles", F.size("shingles").alias("n_sh")).persist()
+
+
+def _exact_jaccard(cand: DataFrame, sized: DataFrame) -> DataFrame:
+    """Verify candidate pairs (a_id, b_id) exactly on the full shingle sets:
+    common = |a ∩ b| via array_intersect, Jaccard in basis points (exact
+    integer arithmetic)."""
+    av = sized.select(
+        F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"), F.col("n_sh").alias("na")
+    )
+    bv = sized.select(
+        F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"), F.col("n_sh").alias("nb")
+    )
+    verified = cand.join(av, "a_id").join(bv, "b_id")
+    common = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    jac = F.floor(common * F.lit(10000) / (F.col("na") + F.col("nb") - common))
+    return verified.select("a_id", "b_id", jac.alias("jaccard_bp"))
+
+
+def _prefix_candidates(sized: DataFrame, t_bp: int) -> DataFrame:
+    """Prefix-filtered candidate pairs (AllPairs/PPJoin): for Jaccard ≥ t, two
+    sets must share at least one of each set's first |d| - ceil(t·|d|) + 1
+    shingles when every doc's shingles are ordered by ascending global
+    document frequency. Only those prefix shingles are indexed, so the
+    self-join buckets are the RAREST shingles — the high-df shingle blowup
+    (quadratic in docs-per-shingle) that kills a naive inverted index at web
+    scale never happens."""
+    from pyspark.sql import Window
+
+    posting = sized.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    dfreq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t_bp) / F.lit(10000)) + 1
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    prefix = (
+        posting.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "n_sh", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter: t·|a| ≤ |b| ≤ |a|/t is necessary for Jaccard ≥ t
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") * F.lit(10000) >= F.col("a.n_sh") * F.lit(t_bp))
+            & (F.col("a.n_sh") * F.lit(10000) >= F.col("b.n_sh") * F.lit(t_bp)),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -62,29 +120,11 @@ def ngram_jaccard_pairs(
     n: int = 5,
     min_jaccard_bp: int = 2000,
 ) -> DataFrame:
-    """All pairs (a < b) with char-n-gram Jaccard ≥ threshold (basis points,
-    exact integer arithmetic). Candidate generation via inverted shingle
-    index; a pair is only compared if it shares ≥1 shingle."""
-    sh = with_shingles(docs, id_col, text_col, n)
-    sized = sh.select("id", "shingles", F.size("shingles").alias("n_sh"))
-    inv = sized.select("id", "n_sh", F.explode("shingles").alias("sh"))
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.floor(
-        F.col("common") * F.lit(10000) / (F.col("na") + F.col("nb") - F.col("common"))
-    )
-    return pairs.select("a_id", "b_id", jac.alias("jaccard_bp")).filter(
-        F.col("jaccard_bp") >= min_jaccard_bp
-    )
+    """All pairs (a < b) with char-n-gram Jaccard ≥ threshold (basis points).
+    EXACT result: prefix-filtered candidates, verified on full shingle sets."""
+    sized = _sized_shingles(docs, id_col, text_col, n)
+    cand = _prefix_candidates(sized, min_jaccard_bp)
+    return _exact_jaccard(cand, sized).filter(F.col("jaccard_bp") >= min_jaccard_bp)
 
 
 def minhash_signatures(
@@ -94,10 +134,12 @@ def minhash_signatures(
     n: int = 5,
     k: int = 32,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc, fully JVM-side:
-    sig_j = min over shingles of (a_j * (xxhash64(s) mod p) + b_j) mod p."""
-    sh = with_shingles(docs, id_col, text_col, n)
+    sig_j = min over shingles of (a_j * (xxhash64(s) mod p) + b_j) mod p.
+    Pass ``shingled`` (id, shingles, …) to reuse an already-computed base."""
+    sh = shingled if shingled is not None else with_shingles(docs, id_col, text_col, n)
 
     def perm_min(aj: int, bj: int):
         return F.array_min(
@@ -128,9 +170,11 @@ def minhash_near_dup_pairs(
     """LSH banding: bucket on (band index, hash of signature slice), join
     within buckets → candidate pairs; optionally verify candidates with exact
     n-gram Jaccard (removes LSH false positives; false negatives are the usual
-    LSH recall trade-off)."""
+    LSH recall trade-off). Verification computes Jaccard ONLY for the LSH
+    candidates — it never runs the full all-pairs search."""
     rows = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, k, seed)
+    sized = _sized_shingles(docs, id_col, text_col, n)
+    sig = minhash_signatures(docs, id_col, text_col, n, k, seed, shingled=sized)
     banded = sig.select(
         "id",
         F.explode(
@@ -158,29 +202,36 @@ def minhash_near_dup_pairs(
     )
     if min_jaccard_bp is None:
         return cand
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, min_jaccard_bp)
-    return cand.join(exact, ["a_id", "b_id"]).select("a_id", "b_id", "jaccard_bp")
+    return _exact_jaccard(cand, sized).filter(F.col("jaccard_bp") >= min_jaccard_bp)
 
 
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j of the signature is the
-    sign of Σ_tokens (±1 by bit j of xxhash64(token))."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sum = lambda j: F.aggregate(  # noqa: E731
-        hashes,
-        F.lit(0),
-        lambda acc, h: acc
-        + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-    )
+    sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+
+    Physical shape: explode tokens → hash once per token → 64 columnar
+    conditional sums in ONE hash aggregate (map-side partial, whole-stage
+    codegen). One pass over the tokens, vs 64 array traversals had the bit
+    sums been nested higher-order aggregates."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).select("id", F.xxhash64("_tok").alias("_h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
     sig = None
     for j in range(64):
-        bit = F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"_s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << j).cast("long") if j < 63 else bit * F.lit(-(1 << 63))
         sig = term if sig is None else (sig + term)
-    return docs.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

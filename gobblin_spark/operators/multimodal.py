@@ -86,6 +86,84 @@ def binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
     return df.select(id_col, bin_col).mapInPandas(gen, META_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Image resize over opaque binary payloads — Spark plumbing real, decode
+    STUBBED. A real implementation decodes with PIL and re-encodes; this
+    deterministic stand-in emits a payload-derived pseudo-image of the target
+    size header + digest (so output size/schema behave like the real op)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize(b):
+                if b is None:
+                    return None
+                # STUB: real decode+resize goes here (PIL.Image.open(...).resize)
+                return hashlib.sha256(bytes(b) + f"{width}x{height}".encode()).digest()
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": pdf[bin_col].map(_resize),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(gen, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling — 1:N row fan-out through mapInPandas (each input
+    payload yields ceil(pseudo_frames / every_n) frame rows). Decode STUBBED:
+    frame count is derived from payload length (a real impl uses pyav); frame
+    payloads are deterministic digests. The fan-out shape, schema, and
+    partition behavior are the real thing."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:
+                    continue
+                payload = bytes(b)
+                n_frames = max(1, len(payload) // 64)  # STUB: pyav stream probe
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    frames.append(hashlib.sha256(payload + fi.to_bytes(4, "big")).digest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(gen, out_schema)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """Feature extraction over binary payloads (STUB decode, real plumbing).
     Deterministic by construction — independent of batch size / parallelism."""

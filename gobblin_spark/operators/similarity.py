@@ -96,6 +96,83 @@ def assign_cells(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    min_sim_x10k: int = 9000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cosine, 4)·10⁴ ≥ threshold. Quadratic by definition (the exact
+    baseline); ``lsh_neardup_pairs`` is the scale path."""
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))), 4)
+    # keep sim as a rounded double (identical IEEE ops in any engine computing
+    # the same ordered sum ⇒ bit-identical filter decisions)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(min_sim_x10k) / F.lit(10000.0))
+    )
+
+
+def _hyperplane_signs(vec_col, dim: int, nbits: int, seed: int = 42):
+    """sign-bit signature via deterministic pseudo-random hyperplanes: bit j =
+    [Σ_i v_i · r_ji > 0] with r_ji ∈ {-1, +1} derived from a seeded hash.
+    Returns (bucket long expr). All JVM-side literals + zip_with/aggregate."""
+    import random
+
+    rnd = random.Random(seed)
+    sig = F.lit(0).cast("long")
+    for j in range(nbits):
+        coeffs = F.array(*[F.lit(1.0 if rnd.random() < 0.5 else -1.0) for _ in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH top-k: corpus and queries bucketed by an
+    nbits sign signature; each query scores only same-bucket candidates.
+    Search cost ≈ |corpus| / 2^nbits per query under even buckets; recall < 1
+    (baseline: cosine_topk)."""
+    from pyspark.sql import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
+    )
+    cand = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

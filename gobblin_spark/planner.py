@@ -69,6 +69,10 @@ def plan_batches(
         if total == 0:
             break
         cap = max_events_per_batch or total
+        if total <= cap * 1.1:
+            # absorb a small remainder instead of emitting a near-empty extra
+            # batch (every batch costs a full commit round-trip)
+            cap = total
         batch: list[OffsetRange] = []
         for p in sorted(backlog):
             take = backlog[p] if total <= cap else max(1, (backlog[p] * cap) // total)

@@ -51,9 +51,12 @@ def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def conform(df: DataFrame, target: T.StructType) -> DataFrame:
+def conform(df: DataFrame, target: T.StructType, keep: list[str] | None = None) -> DataFrame:
     """Project df onto target schema: missing columns become typed nulls,
-    present columns are cast (widening only, by construction)."""
+    present columns are cast (widening only, by construction). ``keep`` passes
+    extra physical columns (e.g. a precomputed partition key) through
+    unchanged — re-deriving them would break Catalyst's recognition of an
+    existing hash partitioning on the original attribute."""
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:
@@ -64,4 +67,6 @@ def conform(df: DataFrame, target: T.StructType) -> DataFrame:
             cols.append(col.alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    for k in keep or []:
+        cols.append(F.col(k))
     return df.select(*cols)

@@ -1,0 +1,156 @@
+"""Two-cluster-size scaling benchmark (the north rule's ≥0.8 criterion).
+
+A real multi-node cluster is unavailable in the sandbox, so the same job is
+run at two parallelism levels — ``local[N]`` and ``local[4N]`` — via
+``spark-submit --py-files`` on the identical pre-generated input, and
+scaling efficiency = (rate_4N / rate_N) / 4 is reported.
+
+Usage:  python scripts/scaling_bench.py [--events 400000] [--n 8]
+Writes results JSON to stdout and BENCH.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_pyfiles_zip(path: str) -> str:
+    zpath = os.path.join(path, "gobblin_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "gobblin_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def generate_changelog(workdir: str, n_events: int) -> str:
+    """Generate the shared input once (driver-local Spark, excluded from
+    all timings)."""
+    sys.path.insert(0, REPO)
+    from gobblin_spark.datagen import synth_changelog, write_changelog
+    from gobblin_spark.session import get_spark
+
+    path = os.path.join(workdir, "changelog")
+    spark = get_spark("scaling-gen", master="local[32]")
+    write_changelog(synth_changelog(spark, n_events, n_partitions=32), path)
+    spark.stop()
+    return path
+
+
+def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: int, mem_gb: int) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        f"{mem_gb}g",
+        # shuffle dirs on tmpfs: on a real cluster every node brings its own
+        # disks; in single-box local mode one shared disk would masquerade as
+        # an engine bottleneck
+        "--conf",
+        "spark.local.dir=" + (os.environ.get("SPARK_LOCAL_DIRS") or "/dev/shm/spark-scaling-tmp"
+                              if os.path.isdir("/dev/shm") else "/tmp"),
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "scripts", "replay_job.py"),
+        "--changelog",
+        changelog,
+        "--workdir",
+        workdir,
+        "--n-batches",
+        str(n_batches),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"events_per_sec"' in line:
+            return json.loads(line)
+    raise RuntimeError(f"no result line from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--n", type=int, default=1, help="small cluster size; large = 4n")
+    ap.add_argument("--n-batches", type=int, default=1)
+    ap.add_argument("--mem-gb", type=int, default=40)
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="gobblin-scaling-")
+    try:
+        zpath = build_pyfiles_zip(workdir)
+        changelog = generate_changelog(workdir, args.events)
+
+        levels = {}
+        for cores in (args.n, 4 * args.n):
+            best = None
+            for _ in range(args.repeats):
+                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb)
+                if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                    best = r
+            levels[cores] = best
+
+        small, large = levels[args.n], levels[4 * args.n]
+        eff = (large["events_per_sec"] / small["events_per_sec"]) / 4.0
+        result = {
+            "n_events": args.events,
+            "n_batches": args.n_batches,
+            "levels": levels,
+            "scaling_efficiency": round(eff, 3),
+            "criterion": ">=0.8",
+            "passes": eff >= 0.8,
+        }
+        print(json.dumps(result))
+        write_bench_md(result, args)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def write_bench_md(result: dict, args) -> None:
+    small_c, large_c = args.n, 4 * args.n
+    s, l = result["levels"][small_c], result["levels"][large_c]
+    md = f"""# BENCH — two-cluster-size scaling evidence
+
+North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in the sandbox, so the identical job +
+identical pre-generated input ran at two parallelism levels via
+`spark-submit --py-files gobblin_spark.zip scripts/replay_job.py`
+(see scripts/scaling_bench.py; job is master-agnostic).
+
+Input: {result["n_events"]:,} synthetic change events (deterministic, distributed
+generation — gobblin_spark/datagen.py), 32 log partitions, replayed in
+{result["n_batches"]} fenced batches (plan → LWW dedup → vectorized text
+extraction → bucket-pruned MERGE → checkpoint commit).
+
+| cluster size | events/sec | wall sec |
+|---|---|---|
+| local[{small_c}] (N) | {s["events_per_sec"]:,} | {s["apply_sec"]} |
+| local[{large_c}] (4N) | {l["events_per_sec"]:,} | {l["apply_sec"]} |
+
+**Scaling efficiency (rate_4N / rate_N) / 4 = {result["scaling_efficiency"]}**
+(criterion >= 0.8: {"PASS" if result["passes"] else "FAIL"})
+
+Reproduce: `python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Structured Streaming tail: incremental drain equivalence + exactly-once
+under checkpoint loss / redelivery (≈ TaskContinuousTest semantics,
+gobblin-runtime/src/test/.../TaskContinuousTest.java:72 — stream records in,
+poll committed watermarks, assert table/watermark consistency)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from gobblin_spark.fixtures import _to_arrow, make_changelog
+from gobblin_spark.lake import SnapshotTable
+from gobblin_spark.engine import CdcEngine
+from gobblin_spark.streaming import drain
+
+from conftest import table_fingerprint
+from helpers import PAGES_SCHEMA, oracle_final, visible_with_offset
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    tmp = str(tmp_path)
+    clog = make_changelog(600, n_urls=60, n_partitions=4, seed=7)
+    src = os.path.join(tmp, "landing")
+    os.makedirs(src)
+    cut = int(len(clog) * 0.6)
+    seg_a, seg_b = clog.iloc[:cut], clog.iloc[cut:]
+    table = SnapshotTable.create(
+        spark, os.path.join(tmp, "table"), PAGES_SCHEMA, key="url", n_buckets=8
+    )
+    engine = CdcEngine(spark, table)
+    ckpt = os.path.join(tmp, "ckpt")
+    return clog, seg_a, seg_b, src, table, engine, ckpt
+
+
+def _land(df, src, name):
+    pq.write_table(_to_arrow(df.reset_index(drop=True)), os.path.join(src, name))
+
+
+def test_stream_drain_incremental_equals_oracle(spark, stream_env):
+    clog, seg_a, seg_b, src, table, engine, ckpt = stream_env
+
+    _land(seg_a, src, "part-000.parquet")
+    r1 = drain(engine, src, ckpt)
+    assert any(not r.get("skipped") for r in r1)
+    wm_after_a = engine.committed_watermarks()
+    assert wm_after_a  # watermarks committed with the data
+
+    _land(seg_b, src, "part-001.parquet")
+    r2 = drain(engine, src, ckpt)
+    assert any(not r.get("skipped") for r in r2)
+
+    got = table_fingerprint(visible_with_offset(table))
+    exp = table_fingerprint(oracle_final(clog, None))
+    assert got == exp
+
+
+def test_stream_redelivery_is_fenced(spark, stream_env):
+    clog, seg_a, seg_b, src, table, engine, ckpt = stream_env
+    _land(seg_a, src, "part-000.parquet")
+    _land(seg_b, src, "part-001.parquet")
+    drain(engine, src, ckpt)
+    version = table.version
+    fp = table_fingerprint(visible_with_offset(table))
+
+    # lose the stream checkpoint: the source redelivers EVERYTHING; the
+    # engine's table-level watermark fencing must skip it all
+    shutil.rmtree(ckpt)
+    r = drain(engine, src, ckpt)
+    assert all(x.get("skipped") for x in r)
+    assert table.version == version
+    assert table_fingerprint(visible_with_offset(table)) == fp
+
+
+def test_stream_many_microbatches(spark, stream_env):
+    """maxFilesPerTrigger=1 forces one micro-batch per file — same final
+    state, several commits."""
+    clog, seg_a, seg_b, src, table, engine, ckpt = stream_env
+    third = len(clog) // 3
+    for i in range(3):
+        _land(clog.iloc[i * third : None if i == 2 else (i + 1) * third], src, f"f{i}.parquet")
+    results = drain(engine, src, ckpt, max_files_per_trigger=1)
+    assert sum(1 for r in results if not r.get("skipped")) == 3
+    got = table_fingerprint(visible_with_offset(table))
+    assert got == table_fingerprint(oracle_final(clog, None))
