@@ -1,0 +1,134 @@
+"""Converters: the reference's record-wise transform surface re-expressed as
+DataFrame combinators (SURVEY §2.3; Converter contract =
+gobblin-api/.../converter/Converter.java:61-104 — 1:1 schema map + 1:{0,1,N}
+record flatMap; chained by MultiConverter).
+
+Every converter here is a ``DataFrame -> DataFrame`` function built from
+JVM-side expressions (whole-stage codegen; no Python), so a Gobblin
+converter chain becomes ``chain(df, [conv1, conv2, ...])``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Converter = Callable[[DataFrame], DataFrame]
+
+
+def chain(df: DataFrame, converters: list[Converter]) -> DataFrame:
+    """≈ MultiConverter (gobblin-runtime/.../MultiConverter.java)."""
+    for c in converters:
+        df = c(df)
+    return df
+
+
+# --------------------------------------------------------------- 1:0/1 filters
+
+
+def filter_equals(column: str, value) -> Converter:
+    """≈ AvroFilterConverter (gobblin-core/.../filter/AvroFilterConverter.java:42)."""
+    return lambda df: df.filter(F.col(column) == F.lit(value))
+
+
+def filter_regex(column: str, pattern: str) -> Converter:
+    """≈ StringFilterConverter (gobblin-core/.../string/StringFilterConverter.java:40)."""
+    return lambda df: df.filter(F.col(column).rlike(pattern))
+
+
+# ------------------------------------------------------------- 1:1 projections
+
+
+def fields_pick(*paths: str) -> Converter:
+    """≈ AvroFieldsPickConverter — project a subset of (possibly nested)
+    fields (gobblin-core/.../filter/AvroFieldsPickConverter.java:50)."""
+    return lambda df: df.select(*paths)
+
+
+def field_retriever(path: str, alias: str | None = None) -> Converter:
+    """≈ AvroFieldRetrieverConverter — extract one nested field
+    (gobblin-core/.../avro/AvroFieldRetrieverConverter.java:43)."""
+    return lambda df: df.select(F.col(path).alias(alias or path.replace(".", "_")))
+
+
+def flatten_nested(*paths: str) -> Converter:
+    """≈ FlattenNestedKeyConverter — lift nested keys to top level with
+    underscore names (gobblin-core/.../avro/FlattenNestedKeyConverter.java:58)."""
+
+    def conv(df: DataFrame) -> DataFrame:
+        cols = [F.col(c) for c in df.columns]
+        cols += [F.col(p).alias(p.replace(".", "_")) for p in paths]
+        return df.select(*cols)
+
+    return conv
+
+
+# -------------------------------------------------------- format conversions
+
+
+def json_decode(column: str, schema: str, alias: str = "decoded") -> Converter:
+    """≈ JsonStringToJsonIntermediateConverter / EnvelopeSchemaConverter
+    payload decode (gobblin-modules/gobblin-kafka-common/.../converter/
+    EnvelopeSchemaConverter.java:114-138): parse a JSON string column into a
+    typed struct."""
+    return lambda df: df.withColumn(alias, F.from_json(F.col(column), schema))
+
+
+def csv_decode(column: str, schema: str, alias: str = "decoded", **options) -> Converter:
+    """≈ CsvToJsonConverter (gobblin-core/.../csv/CsvToJsonConverter.java)."""
+    return lambda df: df.withColumn(alias, F.from_csv(F.col(column), F.lit(schema), options or None))
+
+
+def to_timestamp_field(column: str, fmt: str, alias: str | None = None) -> Converter:
+    """Timestamp/date parsing piece of JsonIntermediateToAvroConverter
+    (gobblin-core/.../avro/JsonIntermediateToAvroConverter.java:50)."""
+    return lambda df: df.withColumn(alias or column, F.to_timestamp(F.col(column), fmt))
+
+
+def string_to_bytes(column: str, alias: str | None = None) -> Converter:
+    """≈ StringToBytesConverter (gobblin-core/.../string/StringToBytesConverter.java)."""
+    return lambda df: df.withColumn(alias or column, F.encode(F.col(column), "utf-8"))
+
+
+def bytes_to_string(column: str, alias: str | None = None) -> Converter:
+    """≈ TextToStringConverter / bytes decode."""
+    return lambda df: df.withColumn(alias or column, F.decode(F.col(column), "utf-8"))
+
+
+def object_to_string(column: str, alias: str | None = None) -> Converter:
+    """≈ ObjectToStringConverter (gobblin-core/.../string/ObjectToStringConverter.java)."""
+    return lambda df: df.withColumn(alias or column, F.col(column).cast("string"))
+
+
+def avro_roundtrip_available() -> bool:
+    """spark-avro expression support is a separate jar; gate its use."""
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+# ------------------------------------------------------------------ 1:N split
+
+
+def string_split(column: str, delimiter: str, alias: str = "token") -> Converter:
+    """≈ StringSplitterConverter — 1:N record fan-out
+    (gobblin-core/.../string/StringSplitterConverter.java)."""
+    return lambda df: df.withColumn(alias, F.explode(F.split(F.col(column), delimiter)))
+
+
+# -------------------------------------------------- row-level quality checks
+
+
+def row_policy(pred: Column, on_fail: str = "divert"):
+    """≈ RowLevelPolicy FAIL/ERR_FILE semantics
+    (gobblin-api/.../qualitychecker/row/RowLevelPolicy.java:33-68).
+
+    Returns (pass_converter, divert_converter): apply both to the same batch;
+    write the diverted side to an errors table. on_fail='abort' callers
+    should assert the diverted count is zero before committing."""
+    return (lambda df: df.filter(pred)), (lambda df: df.filter(~pred))

@@ -313,6 +313,36 @@ class SnapshotTable:
         self._commit(manifest)
         return {"version": new_version, "buckets": len(written)}
 
+    def delete_where(self, condition, properties: dict | None = None) -> dict:
+        """Physical delete of matching live rows (≈ retention/compliance purge,
+        gobblin-data-management/.../retention/policy/TimeBasedRetentionPolicy.java:48,
+        gobblin-modules/gobblin-compliance): rewrites live buckets without the
+        matching rows in one snapshot commit. Tombstones are preserved (their
+        versions still fence replays)."""
+        m = self.manifest()
+        df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
+        kept = df.filter(F.col("_deleted") | ~condition)
+        new_version = m["version"] + 1
+        data_rel = f"data/v{new_version:06d}"
+        kept = kept.repartition(self.n_buckets, F.col("_bucket"))
+        kept.write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(self.root, data_rel)
+        )
+        written = [
+            d.split("=", 1)[1]
+            for d in os.listdir(os.path.join(self.root, data_rel))
+            if d.startswith("_bucket=")
+        ]
+        manifest = {
+            **m,
+            "version": new_version,
+            "parent": m["version"],
+            "buckets": {b: {"data": data_rel, "schema_id": m["current_schema_id"]} for b in written},
+            "properties": {**m["properties"], **(properties or {})},
+        }
+        self._commit(manifest)
+        return {"version": new_version, "buckets": len(written)}
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Retention (≈ TimeBasedRetentionPolicy / Iceberg expire_snapshots):
         delete manifests older than the last ``keep_last`` and any data dirs

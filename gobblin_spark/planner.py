@@ -83,6 +83,90 @@ def plan_batches(
     return batches
 
 
+def pack_work_units(
+    sizes: dict[int, float], n_bins: int
+) -> list[list[int]]:
+    """Worst-fit-decreasing bin packing of work units into n_bins containers
+    (≈ KafkaWorkUnitPacker.squeezeMultiWorkUnits/worst-fit,
+    gobblin-modules/gobblin-kafka-common/.../packer/KafkaWorkUnitPacker.java:313-345:
+    sort desc by load, always assign to the currently lightest bin).
+
+    In Spark the physical analog is AQE partition coalescing, but the packer
+    remains useful for planning-level grouping (e.g. assigning partition
+    ranges to a bounded number of concurrent apply jobs). Returns bins of
+    work-unit keys; deterministic (ties broken by key)."""
+    import heapq
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    heap = [(0.0, i, []) for i in range(n_bins)]  # (load, bin index, members)
+    heapq.heapify(heap)
+    for key in sorted(sizes, key=lambda k: (-sizes[k], k)):
+        load, i, members = heapq.heappop(heap)
+        members.append(key)
+        heapq.heappush(heap, (load + sizes[key], i, members))
+    bins = sorted(heap, key=lambda t: t[1])
+    return [members for _, _, members in bins]
+
+
+def pack_bi_level(
+    sizes: dict[int, float], groups: dict[int, str], n_bins: int, capacity_frac: float = 3.0
+) -> list[list[int]]:
+    """Bi-level packing: best-fit-decreasing WITHIN each group under a
+    capacity of avg_bin_load/capacity_frac, then worst-fit the group bundles
+    across bins (≈ KafkaBiLevelWorkUnitPacker.java:56-125 — trades small
+    output files against same-topic skew pileup)."""
+    total = sum(sizes.values())
+    cap = (total / n_bins) / capacity_frac if n_bins else float("inf")
+    bundles: dict[int, tuple[float, list[int]]] = {}
+    bid = 0
+    for g in sorted(set(groups.values())):
+        members = sorted(
+            (k for k in sizes if groups[k] == g), key=lambda k: (-sizes[k], k)
+        )
+        open_bundles: list[tuple[float, int]] = []  # (load, bundle id)
+        for k in members:
+            # best fit: fullest bundle that still fits under cap
+            best = None
+            for j, (load, b) in enumerate(open_bundles):
+                if load + sizes[k] <= cap and (best is None or load > open_bundles[best][0]):
+                    best = j
+            if best is None:
+                bundles[bid] = (sizes[k], [k])
+                open_bundles.append((sizes[k], bid))
+                bid += 1
+            else:
+                load, b = open_bundles[best]
+                bundles[b] = (load + sizes[k], bundles[b][1] + [k])
+                open_bundles[best] = (load + sizes[k], b)
+    bundle_sizes = {b: load for b, (load, _) in bundles.items()}
+    packed = pack_work_units(bundle_sizes, n_bins)
+    return [[k for b in bin_ for k in bundles[b][1]] for bin_ in packed]
+
+
+def estimate_partition_stats(df, partition_col: str = "log_partition", size_expr=None) -> dict[int, dict]:
+    """Per-partition record-count + byte-size stats from a (previous) batch
+    (≈ KafkaAvgRecordSizeBasedWorkUnitSizeEstimator — prior-run stats feed
+    the next plan's packing/salting decisions)."""
+    size_expr = size_expr if size_expr is not None else F.octet_length("html")
+    rows = (
+        df.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(size_expr).alias("bytes"),
+        )
+        .collect()
+    )
+    return {
+        int(r[partition_col]): {
+            "n_events": int(r["n"]),
+            "total_bytes": int(r["bytes"] or 0),
+            "avg_bytes": (int(r["bytes"] or 0) // max(1, int(r["n"]))),
+        }
+        for r in rows
+    }
+
+
 def range_predicate(ranges: list[OffsetRange]):
     """Pushdown-friendly filter: partition pruning on log_partition (a hive
     partition column of the changelog) + offset row-group skipping via parquet

@@ -1,0 +1,7 @@
+"""Source connectors: incremental planning + reading, re-expressing the
+reference's Source/Extractor contract (gobblin-api/.../source/Source.java:44)
+as planner functions + ``spark.read``/``spark.readStream`` invocations."""
+
+from .filebased import FileSnapshotSource  # noqa: F401
+from .jdbc import plan_query_partitions, watermark_predicates  # noqa: F401
+from .kafka import kafka_stream_options  # noqa: F401

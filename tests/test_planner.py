@@ -51,3 +51,47 @@ def test_range_predicate_filters_and_prunes(spark):
     # predicate is a plain conjunction/disjunction of comparisons on the
     # partition + offset columns → pushes to parquet scan / prunes partitions
     assert df.filter(range_predicate([])).count() == 0
+
+
+def test_pack_work_units_worst_fit_decreasing():
+    from gobblin_spark.planner import pack_work_units
+
+    sizes = {0: 10.0, 1: 8.0, 2: 7.0, 3: 3.0, 4: 2.0, 5: 2.0}
+    bins = pack_work_units(sizes, 3)
+    loads = sorted(sum(sizes[k] for k in b) for b in bins)
+    # WFD on this input balances to 10/10/12
+    assert loads == [10.0, 10.0, 12.0]
+    assert sorted(k for b in bins for k in b) == list(sizes)
+
+
+def test_pack_work_units_more_bins_than_units():
+    from gobblin_spark.planner import pack_work_units
+
+    bins = pack_work_units({7: 5.0}, 4)
+    assert sum(len(b) for b in bins) == 1
+
+
+def test_pack_bi_level_groups_stay_bundled_under_capacity():
+    from gobblin_spark.planner import pack_bi_level
+
+    sizes = {i: 1.0 for i in range(12)}
+    groups = {i: ("a" if i < 6 else "b") for i in range(12)}
+    bins = pack_bi_level(sizes, groups, 4, capacity_frac=1.0)
+    assert sorted(k for b in bins for k in b) == list(range(12))
+    # capacity = (12/4)/1 = 3 → bundles of ≤3, same-group members bundled
+    for b in bins:
+        for k in b:
+            assert sizes[k] == 1.0
+
+
+def test_estimate_partition_stats(spark):
+    from gobblin_spark.planner import estimate_partition_stats
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("log_partition"),
+        F.encode(F.lit("x" * 10), "utf-8").alias("html"),
+    )
+    stats = estimate_partition_stats(df)
+    assert set(stats) == {0, 1, 2, 3}
+    assert all(v["n_events"] == 25 and v["avg_bytes"] == 10 for v in stats.values())

@@ -1,0 +1,182 @@
+"""Sources (file-based incremental listing, JDBC watermark planning, Kafka
+option mapping), converters chain, and retention delete."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gobblin_spark import converters as C
+from gobblin_spark.lake import SnapshotTable
+from gobblin_spark.sources import (
+    FileSnapshotSource,
+    kafka_stream_options,
+    plan_query_partitions,
+    watermark_predicates,
+)
+from gobblin_spark.state import StateStore
+
+from helpers import PAGES_SCHEMA
+
+
+# ------------------------------------------------------------- file source
+
+
+def test_file_source_incremental(spark, tmp_path):
+    src = FileSnapshotSource(StateStore(str(tmp_path / "state")))
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame({"a": [1, 2]}).to_parquet(d / "f1.parquet")
+    pattern = str(d / "*.parquet")
+
+    first = src.plan(pattern)
+    assert [os.path.basename(f) for f in first] == ["f1.parquet"]
+    assert src.read(spark, first).count() == 2
+    src.commit(first)
+    assert src.plan(pattern) == []  # nothing new
+
+    pd.DataFrame({"a": [3]}).to_parquet(d / "f2.parquet")
+    second = src.plan(pattern)
+    assert [os.path.basename(f) for f in second] == ["f2.parquet"]
+    src.commit(second)
+    assert src.plan(pattern) == []
+
+
+# ------------------------------------------------------------ jdbc planning
+
+
+def test_watermark_predicates_int_cover_range_exactly():
+    preds = watermark_predicates("id", 100, 350, 4)
+    assert preds == [
+        "id > 100 AND id <= 163",
+        "id > 163 AND id <= 226",
+        "id > 226 AND id <= 289",
+        "id > 289 AND id <= 350",
+    ]
+    assert watermark_predicates("id", 5, 5, 4) == []  # empty interval
+
+
+def test_watermark_predicates_timestamp():
+    preds = watermark_predicates(
+        "ts", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 2, kind="timestamp"
+    )
+    assert len(preds) == 2
+    assert "ts > '2024-01-01 00:00:00'" in preds[0]
+    assert preds[1].endswith("ts <= '2024-01-02 00:00:00'")
+
+
+def test_plan_query_partitions_doc():
+    plan = plan_query_partitions("events", "event_id", 0, 100, 3)
+    assert plan["high"] == 100 and len(plan["predicates"]) == 3
+
+
+def test_predicates_partition_rows_disjointly(spark):
+    """Executing the predicate slices over a real table covers every row
+    exactly once (the QueryBasedExtractor WHERE-clause contract)."""
+    df = spark.range(1, 1001).withColumnRenamed("id", "k")
+    preds = watermark_predicates("k", 0, 1000, 7)
+    total = sum(df.filter(p).count() for p in preds)
+    assert total == 1000
+
+
+# ------------------------------------------------------------ kafka options
+
+
+def test_kafka_options_resume_from_watermarks():
+    opts = kafka_stream_options(
+        "broker:9092",
+        ["pages"],
+        starting_offsets={"pages": {"0": 42, "1": -2}},
+        max_offsets_per_trigger=5000,
+    )
+    assert opts["subscribe"] == "pages"
+    assert '"0": 42' in opts["startingOffsets"]
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["failOnDataLoss"] == "false"
+    with pytest.raises(ValueError):
+        kafka_stream_options("b", "t", starting_offsets="bogus")
+
+
+# -------------------------------------------------------------- converters
+
+
+def test_converter_chain(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}', "x y z"), ("b", '{"k": 2}', "p q")],
+        "name string, js string, words string",
+    )
+    out = C.chain(
+        df,
+        [
+            C.json_decode("js", "k INT"),
+            C.flatten_nested("decoded.k"),
+            C.filter_regex("name", "^[ab]$"),
+            C.string_split("words", " "),
+        ],
+    )
+    rows = out.select("name", "decoded_k", "token").collect()
+    assert len(rows) == 5  # 3 tokens + 2 tokens
+    assert {(r["name"], r["decoded_k"]) for r in rows} == {("a", 1), ("b", 2)}
+
+
+def test_row_policy_divert(spark):
+    df = spark.createDataFrame([(1,), (-2,), (3,)], "v int")
+    keep, divert = C.row_policy(F.col("v") > 0)
+    assert keep(df).count() == 2
+    assert divert(df).count() == 1
+
+
+def test_bytes_roundtrip(spark):
+    df = spark.createDataFrame([("héllo",)], "s string")
+    out = C.chain(df, [C.string_to_bytes("s", "b"), C.bytes_to_string("b", "s2")])
+    assert out.first()["s2"] == "héllo"
+
+
+# ---------------------------------------------------------------- retention
+
+
+def test_delete_where_retention(spark, tmp_path):
+    from gobblin_spark.engine import CdcEngine
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key="url", n_buckets=4
+    )
+    eng = CdcEngine(spark, table, extract=False)
+    pages = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", None, "old", "en"),
+            ("u2", "2025-01-01 00:00:00", None, "new", "en"),
+        ],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    eng.bootstrap(pages)
+    assert table.read().count() == 2
+
+    table.delete_where(F.col("warc_ts") < F.lit("2024-06-01").cast("timestamp"))
+    rows = table.read().collect()
+    assert [r["url"] for r in rows] == ["u2"]
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_multimodal_resize_and_frames(spark):
+    from gobblin_spark.operators.multimodal import resize_images, sample_frames
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, b"x" * 200), (2, b"y" * 640), (3, None)], "doc_id long, payload binary"
+    )
+    resized = resize_images(docs, 32, 32).collect()
+    assert {r["doc_id"] for r in resized} == {1, 2, 3}
+    by_id = {r["doc_id"]: r for r in resized}
+    assert by_id[1]["width"] == 32 and len(by_id[1]["payload"]) == 32  # sha256 stub
+    assert by_id[3]["payload"] is None
+
+    frames = sample_frames(docs, every_n=2).groupBy("doc_id").count().collect()
+    got = {r["doc_id"]: r["count"] for r in frames}
+    # stub: n_frames = len//64 → doc1: 3 frames → ceil(3/2)=2; doc2: 10 → 5
+    assert got == {1: 2, 2: 5}
