@@ -23,6 +23,12 @@ _DEFAULTS = {
     # parquet isAdjustedToUTC=false timestamps as plain TIMESTAMP (not NTZ).
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Allow a HashPartitioning on a SUBSET of the join keys (the layout
+    # bucket) to count as co-partitioning: the engine's single-shuffle MERGE
+    # relies on it (both sides repartitioned by _bucket; join keys are
+    # (_bucket, url)). Without this, Spark re-shuffles both sides on the full
+    # key set. Perf knob only — correctness is unaffected.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # Partition sizing: 128 MiB input splits is the right default at 100 TB too.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Don't let tiny local test files produce one giant partition.

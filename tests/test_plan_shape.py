@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the scale properties claimed in BENCH.md
+must be visible in the plan itself, not just in timings.
+
+- the apply chain (bucket repartition → LWW groupBy → co-partitioned
+  full-outer join) introduces EXACTLY one exchange per side: the groupBy and
+  the join both reuse the bucket partitioning (Catalyst distribution
+  satisfaction / co-partitioned SMJ);
+- the planned range scan pushes its filters into the parquet source.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from gobblin_spark.dedup import lww_latest
+from gobblin_spark.fixtures import make_changelog, write_changelog
+from gobblin_spark.planner import OffsetRange, range_predicate
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _bucket(col):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(8)).cast("int")
+
+
+def test_apply_chain_single_exchange_per_side(spark, tmp_path):
+    clog = make_changelog(300, n_urls=40, n_partitions=4, seed=3)
+    path = os.path.join(str(tmp_path), "clog")
+    write_changelog(clog, path)
+    df = spark.read.parquet(path)
+
+    upd = df.withColumn("_bucket", _bucket("url")).repartition(8, F.col("_bucket"))
+    latest = lww_latest(upd, ["_bucket", "url"], ["warc_ts", "log_offset"])
+
+    tgt = (
+        df.select("url", "warc_ts", "log_offset")
+        .withColumn("_bucket", _bucket("url"))
+        .repartition(8, F.col("_bucket"))
+        .select(
+            F.col("_bucket").alias("t_bucket"),
+            F.col("url").alias("t_url"),
+            F.col("warc_ts").alias("t_ts"),
+        )
+    )
+    joined = tgt.join(
+        latest,
+        (F.col("t_bucket") == F.col("_bucket")) & (F.col("t_url") == F.col("url")),
+        "full_outer",
+    )
+    plan = _explain(joined, "simple")
+    n_exchanges = plan.count("Exchange")
+    # one hash exchange per side and nothing else — the groupBy and the join
+    # must NOT have inserted additional shuffles (requires
+    # spark.sql.requireAllClusterKeysForCoPartition=false, set in session.py)
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}:\n{plan}"
+
+    lww_only = _explain(latest, "simple")
+    assert lww_only.count("Exchange") == 1, lww_only
+
+
+def test_range_scan_pushes_filters_to_parquet(spark, tmp_path):
+    clog = make_changelog(300, n_urls=40, n_partitions=4, seed=3)
+    path = os.path.join(str(tmp_path), "clog2")
+    write_changelog(clog, path)
+    df = spark.read.parquet(path)
+    ranges = [OffsetRange(0, 10, 50), OffsetRange(2, -1, 30)]
+    scan = df.filter(range_predicate(ranges)).select("url", "log_offset")
+    plan = _explain(scan)
+    assert "PushedFilters: [" in plan
+    assert "log_offset" in plan.split("PushedFilters:")[1].split("]")[0]
+    # column pruning: html must not be read for a (url, log_offset) projection
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema
+
+
+def test_partition_pruning_on_hive_partition_column(spark, tmp_path):
+    clog = make_changelog(300, n_urls=40, n_partitions=4, seed=3)
+    path = os.path.join(str(tmp_path), "clog3")
+    write_changelog(clog, path)
+    df = spark.read.parquet(path)
+    one = df.filter(F.col("log_partition") == 1)
+    plan = _explain(one)
+    # hive-partition pruning shows up as a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "log_partition" in seg
