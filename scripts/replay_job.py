@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--no-extract", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=32,
+        help="table layout buckets; size so a bucket's rows sort in memory "
+        "(~256MB-512MB of row data per bucket at the target table size)",
+    )
     args = ap.parse_args()
 
     from gobblin_spark.engine import CdcEngine
@@ -66,7 +73,7 @@ def main() -> None:
     )
     table_root = os.path.join(args.workdir, f"pages_table_c{cores}")
     shutil.rmtree(table_root, ignore_errors=True)
-    table = SnapshotTable.create(spark, table_root, schema, key="url", n_buckets=32)
+    table = SnapshotTable.create(spark, table_root, schema, key="url", n_buckets=args.n_buckets)
     engine = CdcEngine(spark, table, job_id=f"scale-{cores}", extract=not args.no_extract)
 
     tune_input_splits(spark, args.changelog)

@@ -49,7 +49,7 @@ def generate_changelog(workdir: str, n_events: int) -> str:
     return path
 
 
-def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: int, mem_gb: int) -> dict:
+def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: int, mem_gb: int, n_buckets: int = 32) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
@@ -74,6 +74,8 @@ def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: i
         workdir,
         "--n-batches",
         str(n_batches),
+        "--n-buckets",
+        str(n_buckets),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -89,6 +91,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1, help="small cluster size; large = 4n")
     ap.add_argument("--n-batches", type=int, default=1)
     ap.add_argument("--mem-gb", type=int, default=40)
+    ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=None,
+        help="table layout buckets; default sizes each bucket to ~256MB of rows",
+    )
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
@@ -97,11 +105,14 @@ def main() -> None:
         zpath = build_pyfiles_zip(workdir)
         changelog = generate_changelog(workdir, args.events)
 
+        # bucket sizing: ~1.2KB/row expanded; target ~256MB of row data per
+        # bucket so the per-bucket LWW sort + merge stays in memory
+        n_buckets = args.n_buckets or min(4096, max(32, (args.events * 1200) // (256 << 20)))
         levels = {}
         for cores in (args.n, 4 * args.n):
             best = None
             for _ in range(args.repeats):
-                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb)
+                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets)
                 if best is None or r["events_per_sec"] > best["events_per_sec"]:
                     best = r
             levels[cores] = best
