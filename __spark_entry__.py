@@ -213,6 +213,62 @@ def q_writer_time_partitioning(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_cdc_engine_replay(spark, sf_dir):
+    """END-TO-END: replay the events table as a changelog through the REAL
+    engine (plan → LWW dedup → fenced MERGE → atomic commit with watermarks)
+    into a fresh snapshot table, and return the final visible state. The
+    DuckDB oracle recomputes the same final state with a window function —
+    the strongest correctness witness in the contract: it checks the entire
+    engine, not one operator. event_type='error' plays the delete op."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="engine-replay-")  # backs the lazy result DF
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    CdcEngine(spark, table, job_id="contract", extract=False).run(changelog)
+    final = table.read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_conv_json_decode(spark, sf_dir):
     """Envelope/JSON payload decode (≈ EnvelopeSchemaConverter /
     JsonStringToJsonIntermediateConverter, gobblin-modules/gobblin-kafka-common/
@@ -388,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compaction_stats": q_cdc_compaction_stats,
         "cdc_retention_filter": q_cdc_retention_filter,
         "writer_time_partitioning": q_writer_time_partitioning,
+        "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
         "conv_json_decode": q_conv_json_decode,
         "conv_string_split": q_conv_string_split,
@@ -497,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_window": snapshot,
         "cdc_lww_salted": snapshot,
         "cdc_apply_merge": snapshot,  # merge(≤5000, >5000) ≡ LWW over all
+        "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
         "cdc_watermark_discovery": """
             SELECT user_id % 8 AS log_partition, max(event_id) AS high,
                    count(*) AS n_events
