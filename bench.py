@@ -82,6 +82,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # isolate queries: some persist intermediates (e.g. shingle bases);
+        # letting them accumulate distorts later queries' memory budget
+        spark.catalog.clearCache()
     return timings
 
 

@@ -105,9 +105,16 @@ def embedding_neardup_pairs(
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with
     round(cosine, 4)·10⁴ ≥ threshold. Quadratic by definition (the exact
     baseline); ``lsh_neardup_pairs`` is the scale path."""
-    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
-    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
-    sim = F.round(_dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))), 4)
+    # norms precomputed once per vector: sqrt(dot(v,v)) here is the exact
+    # expression the per-pair formula used, so results stay bit-identical
+    # while the pair loop does one aggregate instead of three
+    a = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), _norm(F.col(vec_col)).alias("an")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), _norm(F.col(vec_col)).alias("bn")
+    )
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
     # keep sim as a rounded double (identical IEEE ops in any engine computing
     # the same ordered sum ⇒ bit-identical filter decisions)
     return (
@@ -155,15 +162,17 @@ def lsh_bucket_topk(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
     )
     cand = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))
@@ -201,10 +210,15 @@ def ivf_topk(
         .select("query_id", "qv", "cell")
     )
     cand = probes.join(
-        cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"),
+        cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+            "cell",
+        ),
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * F.col("cn")), 4)
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))
