@@ -243,18 +243,13 @@ def q_cdc_engine_replay(spark, sf_dir):
         F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
         F.col("event_id").alias("log_offset"),
     )
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("warc_ts", T.TimestampType()),
-            T.StructField("html", T.BinaryType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-            T.StructField("event_id", T.LongType()),
-        ]
-    )
+    # table schema DERIVED from the changelog itself (not a hand-written
+    # literal): the driver's session may read parquet timestamps as either
+    # TIMESTAMP or TIMESTAMP_NTZ, and the engine must follow the data — a
+    # hardcoded TimestampType here crashed the round-1 correctness gate under
+    # the driver's vanilla session (TIMESTAMP_NTZ input vs TIMESTAMP table).
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
     root = tempfile.mkdtemp(prefix="engine-replay-")  # backs the lazy result DF
     table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
     CdcEngine(spark, table, job_id="contract", extract=False).run(changelog)

@@ -83,24 +83,83 @@ class CdcEngine:
         out — engine-level exactly-once layered on top of (and independent of)
         the stream checkpoint."""
         committed = self.committed_watermarks()
-        highs = {
-            int(r["log_partition"]): int(r["high"])
-            for r in batch_df.groupBy("log_partition")
-            .agg(F.max("log_offset").alias("high"))
+
+        # Offset-gap guard (≈ FineGrainedWatermarkTracker.java:181-200 —
+        # per-range acks, committable watermark = largest contiguous prefix).
+        # Offsets are dense, but with a file-source tail files can be
+        # DISCOVERED out of offset order (maxFilesPerTrigger splits, retried
+        # uploads), so a micro-batch may carry an offset GAP. Committing
+        # max(offset) would fence the late-arriving middle rows out forever —
+        # silent data loss. Instead: gaps-and-islands over the batch's new
+        # offsets finds the applied runs; runs merge with the table's stored
+        # ``pending_ranges``; the watermark advances over the contiguous
+        # prefix and the disconnected remainder is carried (atomically, in
+        # the same commit) until the gap heals.
+        from pyspark.sql import Window
+
+        cmap = (
+            F.create_map(
+                *[
+                    F.lit(x).cast("long")
+                    for p, v in sorted(committed.items())
+                    for x in (p, v)
+                ]
+            )
+            if committed
+            else F.create_map()
+        )
+        cmt = F.coalesce(F.element_at(cmap, F.col("log_partition").cast("long")), F.lit(-1))
+        w = Window.partitionBy("log_partition").orderBy("log_offset")
+        runs = (
+            batch_df.select("log_partition", "log_offset", cmt.alias("_cmt"))
+            .filter(F.col("log_offset") > F.col("_cmt"))
+            .dropDuplicates(["log_partition", "log_offset"])
+            .withColumn("_grp", F.col("log_offset") - F.row_number().over(w))
+            .groupBy("log_partition", "_grp")
+            .agg(F.min("log_offset").alias("lo"), F.max("log_offset").alias("hi"))
             .collect()
-        }
-        ranges = [
-            OffsetRange(p, committed.get(p, -1), h)
-            for p, h in sorted(highs.items())
-            if h > committed.get(p, -1)
-        ]
-        if not ranges:
+        )
+        if not runs:
             return {"batch_id": batch_id, "skipped": True}
+
+        pending_prop = self.table.properties.get("pending_ranges", {})
+        intervals: dict[int, list[tuple[int, int]]] = {}
+        for p, v in pending_prop.items():
+            intervals[int(p)] = [(int(a), int(b)) for a, b in v]
+        ranges = []
+        for r in runs:
+            p, lo, hi = int(r["log_partition"]), int(r["lo"]), int(r["hi"])
+            intervals.setdefault(p, []).append((lo, hi))
+            ranges.append(OffsetRange(p, lo - 1, hi))
+        ranges.sort(key=lambda r: (r.partition, r.low))
+
+        wm_caps: dict[int, int] = {}
+        new_pending: dict[str, list[list[int]]] = {}
+        for p, ivs in intervals.items():
+            merged: list[list[int]] = []
+            for lo, hi in sorted(ivs):
+                if merged and lo <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            high = committed.get(p, -1)
+            if merged and merged[0][0] <= high + 1:
+                high = merged.pop(0)[1]
+            wm_caps[p] = high
+            if merged:
+                new_pending[str(p)] = merged
         batch = batch_df.filter(range_predicate(ranges))
         # use_observe=False: Observation.get blocks on a query-completion
         # listener that cannot be serviced from inside the foreachBatch
         # callback thread (deadlock); stream metrics come from the ranges
-        return self._apply(batch, ranges, batch_id, use_observe=False)
+        return self._apply(
+            batch,
+            ranges,
+            batch_id,
+            use_observe=False,
+            wm_caps=wm_caps,
+            extra_props={"pending_ranges": new_pending},
+        )
 
     def _apply(
         self,
@@ -108,6 +167,8 @@ class CdcEngine:
         ranges: list[OffsetRange],
         batch_id: str | None,
         use_observe: bool = True,
+        wm_caps: dict[int, int] | None = None,
+        extra_props: dict | None = None,
     ) -> dict:
         t0 = time.monotonic()
         committed = self.committed_watermarks()
@@ -184,10 +245,13 @@ class CdcEngine:
                 ).distinct().collect()
             ]
 
-        # merged watermarks: advance applied ranges, carry everything else
+        # merged watermarks: advance applied ranges, carry everything else;
+        # wm_caps (offset-gap guard) holds a partition's committed watermark
+        # at its highest contiguous offset even when later offsets were applied
         wm = {str(p): v for p, v in committed.items()}
         for r in ranges:
-            wm[str(r.partition)] = max(r.high, committed.get(r.partition, -1))
+            high = r.high if wm_caps is None else wm_caps.get(r.partition, r.high)
+            wm[str(r.partition)] = max(high, committed.get(r.partition, -1))
 
         # lineage rides the SAME commit as data + watermarks (one atomic swap)
         lineage = lineage_entry(batch_id, ranges, {}, self.table.version + 1)
@@ -196,6 +260,7 @@ class CdcEngine:
             "batch_seq": seq,
             "last_batch_id": batch_id,
             "last_lineage": lineage,
+            **(extra_props or {}),
         }
         result = self.table.merge(updates, properties=props, affected=affected)
         metrics = {**read_obs.get, **upd_obs.get} if use_observe else {

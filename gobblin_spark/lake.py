@@ -263,8 +263,30 @@ class SnapshotTable:
         out_path = os.path.join(self.root, data_rel)
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
 
+        # Manifest entries advance only for buckets the write actually
+        # produced. `affected` may be a superset of the buckets present in
+        # this batch (the engine derives it from the raw pre-quality-filter
+        # scan, and the coupon-collector shortcut returns ALL buckets for
+        # large batches); an affected bucket with no target rows and no
+        # surviving update rows yields no `_bucket=` dir, and pointing its
+        # manifest entry at the empty path would make the table unreadable
+        # (PATH_NOT_FOUND on the next scan). Such buckets keep their old
+        # entry (or stay absent). The converse — a written bucket outside
+        # `affected` — would silently drop the target rows that were never
+        # read, so it is a hard error, not a repair.
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_path)
+            if d.startswith("_bucket=")
+        }
+        stray = written - set(affected)
+        if stray:
+            raise ValueError(
+                f"merge wrote buckets {sorted(stray)} outside the affected set "
+                f"{affected}; affected must cover every update bucket"
+            )
         new_buckets = dict(m["buckets"])
-        for b in affected:
+        for b in sorted(written):
             new_buckets[str(b)] = {"data": data_rel, "schema_id": schema_id}
         schemas = dict(m["schemas"])
         if schema_changed:
@@ -321,7 +343,10 @@ class SnapshotTable:
         versions still fence replays)."""
         m = self.manifest()
         df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
-        kept = df.filter(F.col("_deleted") | ~condition)
+        # NULL-safe: a condition that evaluates to NULL (e.g. predicate on a
+        # column null-filled by schema evolution) must KEEP the row — only
+        # definitively-matching rows are purged.
+        kept = df.filter(F.col("_deleted") | ~F.coalesce(condition, F.lit(False)))
         new_version = m["version"] + 1
         data_rel = f"data/v{new_version:06d}"
         kept = kept.repartition(self.n_buckets, F.col("_bucket"))

@@ -17,7 +17,17 @@ _WIDEN = {
     ("integer", "long"): "long",
     ("float", "double"): "double",
     ("date", "timestamp"): "timestamp",
+    ("date", "timestamp_ntz"): "timestamp_ntz",
 }
+
+# TIMESTAMP vs TIMESTAMP_NTZ is a session artifact, not a schema change: the
+# same parquet column (isAdjustedToUTC=false) reads as TimestampType under
+# spark.sql.parquet.inferTimestampNTZ=false and TimestampNTZType under a
+# vanilla Spark 4 session. The engine must be correct under ANY session (the
+# entry point doesn't control the session), so the merge keeps the TABLE's
+# existing flavor and `conform` casts the incoming side — a monotone,
+# order-preserving cast under the session time zone.
+_EQUIV = {frozenset(("timestamp", "timestamp_ntz"))}
 
 
 def _merge_type(old: T.DataType, new: T.DataType, path: str) -> T.DataType:
@@ -25,6 +35,8 @@ def _merge_type(old: T.DataType, new: T.DataType, path: str) -> T.DataType:
         return old
     key = (old.typeName(), new.typeName())
     rkey = (new.typeName(), old.typeName())
+    if frozenset(key) in _EQUIV:
+        return old
     if key in _WIDEN:
         return new
     if rkey in _WIDEN:
