@@ -387,13 +387,17 @@ def q_docs_ngram_jaccard(spark, sf_dir):
 
 
 def q_docs_minhash_neardup(spark, sf_dir):
-    # no SQL oracle (hash-family not expressible in ANSI SQL): rows-only check
+    """MinHash+LSH near-dup with exact-Jaccard verification. The DuckDB
+    oracle replicates the ENTIRE pipeline value-for-value (portable md5-based
+    hashing, same permutation coefficients, same band slices) — a full
+    independent-engine witness, not a rows-only check."""
     return minhash_near_dup_pairs(_docs(spark, sf_dir), n=20, k=32, bands=8, min_jaccard_bp=6000)
 
 
 def q_docs_simhash_neardup(spark, sf_dir):
-    # no SQL oracle: rows-only check
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=12)
+    """Pigeonhole-banded SimHash near-dup (exact for the requested distance:
+    d+1 blocks). DuckDB oracle replicates signature, banding and verify."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_emb_cosine_topk(spark, sf_dir):
@@ -487,6 +491,86 @@ JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE (c * 10000) // (sa.n + sb.n - c) >= 6000
 """
+
+def _minhash_sql(n: int = 20, k: int = 32, bands: int = 8, t_bp: int = 6000, seed: int = 42) -> str:
+    """DuckDB replication of minhash_near_dup_pairs: identical shingling,
+    portable md5-derived 60-bit hash, the same seeded permutation
+    coefficients, banding on raw signature slices, exact-Jaccard verify —
+    value-for-value parity with the Spark pipeline."""
+    from gobblin_spark.operators.dedup_families import _P, _coeffs
+
+    rows = k // bands
+    sigs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_P}) AS s{j}" for j, (a, b) in enumerate(_coeffs(k, seed))
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, [{', '.join(f's{b * rows + i}' for i in range(rows))}] AS slc FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH dsh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), {n}) AS sh
+  FROM documents d, LATERAL unnest(range(1, greatest(length(d.text)-{n - 1}, 1)+1)) AS t(i)
+),
+hsh AS (SELECT doc_id, (('0x' || substr(md5(sh),1,15))::BIGINT) % {_P} AS h FROM dsh),
+sig AS (SELECT doc_id,
+         {sigs}
+        FROM hsh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slc = b.slc AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT c.a_id, c.b_id, count(*) AS cnt
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.a_id
+  JOIN dsh y ON y.doc_id = c.b_id AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id, (cnt * 10000) // (sa.n + sb.n - cnt) AS jaccard_bp
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.a_id
+JOIN sizes sb ON sb.doc_id = c.b_id
+WHERE (cnt * 10000) // (sa.n + sb.n - cnt) >= {t_bp}
+"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replication of simhash_near_dup_pairs: same tokenization,
+    portable 60-bit token hash, per-bit sign sums, pigeonhole block banding,
+    popcount-of-xor verify."""
+    from gobblin_spark.operators.dedup_families import SIMHASH_BITS, _block_layout
+
+    blks = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {off}) & {(1 << w) - 1} AS bv FROM sig"
+        for i, (off, w) in enumerate(_block_layout(max_hamming))
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.x),1,15))::BIGINT AS h
+  FROM documents, unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) AS t(x)
+),
+bitsum AS (
+  SELECT doc_id, CAST(r.j AS INT) AS j,
+         CASE WHEN sum(CASE WHEN (h >> CAST(r.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (CAST(1 AS BIGINT) << CAST(r.j AS INT)) ELSE CAST(0 AS BIGINT) END AS term
+  FROM tok, unnest(range({SIMHASH_BITS})) AS r(j)
+  GROUP BY doc_id, r.j
+),
+sig AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id),
+blk AS (
+  {blks}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
 
 _COSINE_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
@@ -674,6 +758,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substr(md5(text), 1, 16) AS fp64 FROM documents
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
+        "docs_minhash_neardup": _minhash_sql(),
+        "docs_simhash_neardup": _simhash_sql(),
         "emb_cosine_topk": _COSINE_SQL,
         "multimodal_binary_stats": """
             SELECT lang, count(*) AS n_docs,

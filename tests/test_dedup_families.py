@@ -1,0 +1,106 @@
+"""Dedup-family properties: pigeonhole completeness of banded SimHash,
+MinHash-verified ⊆ exact Jaccard, NULL-text handling, portable hashing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gobblin_spark.operators.dedup_families import (
+    _block_layout,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    portable_hash60,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota", "kappa"]
+
+
+def _docs(spark, n=40, seed=3):
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        base = [rnd.choice(_WORDS) for _ in range(30)]
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # a near-duplicate: one word swapped
+            mut = list(base)
+            mut[rnd.randrange(len(mut))] = rnd.choice(_WORDS)
+            rows.append((1000 + i, " ".join(mut)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_banding_is_complete_for_requested_distance(spark):
+    """The banded candidate join must surface EVERY pair within max_hamming —
+    the round-1 version silently missed pairs differing in all blocks."""
+    docs = _docs(spark)
+    for d in (3, 7):
+        sig = simhash(docs).toPandas().set_index("id")["simhash"].to_dict()
+        brute = {
+            (a, b)
+            for a in sig
+            for b in sig
+            if a < b and bin(sig[a] ^ sig[b]).count("1") <= d
+        }
+        banded = {
+            (r["a_id"], r["b_id"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=d).collect()
+        }
+        assert banded == brute, f"d={d}: banded {len(banded)} vs brute {len(brute)}"
+
+
+def test_block_layout_pigeonhole():
+    for d in (0, 1, 3, 7, 12, 59, 100):
+        layout = _block_layout(d)
+        assert len(layout) == min(d + 1, 60)
+        assert sum(w for _, w in layout) == 60
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_simhash_null_text_keeps_id(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, None)], "doc_id long, text string")
+    out = simhash(docs)
+    assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_minhash_verified_subset_of_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard_bp"]
+        for r in ngram_jaccard_pairs(docs, n=5, min_jaccard_bp=5000).collect()
+    }
+    mh = {
+        (r["a_id"], r["b_id"]): r["jaccard_bp"]
+        for r in minhash_near_dup_pairs(docs, n=5, k=32, bands=8, min_jaccard_bp=5000).collect()
+    }
+    # verified candidates are a subset of the exact result with IDENTICAL
+    # jaccard values (verification is exact; only recall can be lost)
+    assert set(mh) <= set(exact)
+    for pair, bp in mh.items():
+        assert exact[pair] == bp
+    # recall at j≥0.9 with r=4,b=8 is 1-(1-j^4)^8 ≈ 0.9998 — every
+    # high-jaccard pair (the actual near-duplicates) must be recalled
+    high = {p for p, bp in exact.items() if bp >= 9000}
+    assert high <= set(mh)
+    assert high  # the fixture must actually contain near-duplicates
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["", "a", "hello world", "héllo", "日本語", "x" * 100]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", portable_hash60(F.col("v")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        exp = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == exp, v
