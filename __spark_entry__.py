@@ -33,6 +33,7 @@ from gobblin_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_neardup_pairs,
 )
 from gobblin_spark.operators.textstats import fingerprint, lang_id, quality_score, token_stats
 
@@ -324,27 +325,40 @@ def q_extract_html_text(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    """Embedding-cosine near-duplicate pairs — EXACT baseline (blocked
+    numpy-matmul prefilter + bit-stable JVM confirmation; value-identical to
+    the naive quadratic join)."""
     return embedding_neardup_pairs(_emb(spark, sf_dir), min_sim_x10k=4500)
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup SCALE path: multi-table hyperplane LSH prefilter +
+    exact verify. The DuckDB oracle replicates the full pipeline (integer-
+    quantized projections are bit-identical across engines)."""
+    return lsh_neardup_pairs(_emb(spark, sf_dir), min_sim_x10k=4500, dim=64)
+
+
 def q_emb_lsh_topk(spark, sf_dir):
-    # hyperplane-LSH approximate variant; recall vs cosine_topk in tests
+    # hyperplane-LSH approximate variant; DuckDB oracle replicates it
     emb = _emb(spark, sf_dir)
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=8)
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nbits=8, dim=64)
 
 
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over binary payloads (STUB decode, real mapInPandas
-    plumbing): aggregate the deterministic 16-dim fake features."""
+    plumbing). The reported aggregate reconstructs the integer digest bytes
+    from the float32 features (round(x·255) is exact through the f32
+    round-trip), so the DuckDB sha256 oracle matches value-for-value."""
     docs = _docs(spark, sf_dir)
     payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     feats = extract_features(payloads)
     return feats.select(
         "doc_id",
-        F.round(F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feature_sum"
-        ),
+        F.aggregate(
+            F.col("feature"),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x.cast("double") * 255).cast("long"),
+        ).alias("feature_byte_sum"),
     )
 
 
@@ -459,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_features": q_multimodal_features,
@@ -586,6 +601,106 @@ SELECT query_id, neighbor_id, rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------- similarity oracle generators
+
+
+def _duck_bucket_expr(vexpr: str, planes: list[list[int]]) -> str:
+    """DuckDB replication of similarity._bucket_expr: integer-quantized
+    hyperplane sign bits packed into one int. floor(v·2²⁰) is exact in IEEE
+    double (power-of-two scale) and the projection is an integer sum, so the
+    bucket is bit-identical to Spark's."""
+    terms = []
+    for i, coeffs in enumerate(planes):
+        arr = "[" + ", ".join(str(c) for c in coeffs) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {len(coeffs) + 1}), i -> "
+            f"CAST(floor({vexpr}[CAST(i AS INT)] * 1048576.0) AS BIGINT)"
+            f" * ({arr})[CAST(i AS INT)])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4) -> str:
+    """DuckDB replication of ivf_topk: first-n_cells centroids, round-4
+    cosine assignment (ties by cell id), nprobe probes, round-4 final rank."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT {n_cells}),
+asg AS (
+  SELECT vec_id, v, nrm, cell FROM (
+    SELECT x.vec_id, x.v, x.nrm, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_dot_product(x.v, c.cv)/(x.nrm*c.cnrm), 4) DESC, c.cell) AS rn
+    FROM n x CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell FROM (
+    SELECT x.vec_id, x.v, x.nrm, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_dot_product(x.v, c.cv)/(x.nrm*c.cnrm), 4) DESC, c.cell) AS rn
+    FROM n x CROSS JOIN cents c WHERE x.vec_id < 10
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v)/(p.qn*a.nrm), 4) AS sim
+  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+def _lsh_topk_sql(k: int = 5, nbits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from gobblin_spark.operators.similarity import hyperplanes
+
+    bucket = _duck_bucket_expr("v", hyperplanes(dim, nbits, seed))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {bucket} AS bucket FROM e),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v)/(q.nrm*c.nrm), 4) AS sim
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
+def _lsh_neardup_sql(
+    t_x10k: int = 4500, dim: int = 64, n_tables: int = 16, nbits: int = 12, seed: int = 42
+) -> str:
+    from gobblin_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_tables * nbits, seed)
+    buckets = ",\n       ".join(
+        f"{_duck_bucket_expr('v', planes[t * nbits:(t + 1) * nbits])} AS b{t}"
+        for t in range(n_tables)
+    )
+    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       {buckets}
+      FROM e),
+scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 4) AS sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({any_shared})
+)
+SELECT a_id, b_id, sim FROM scored WHERE sim >= {t_x10k}/10000.0
 """
 
 
@@ -761,6 +876,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_neardup": _minhash_sql(),
         "docs_simhash_neardup": _simhash_sql(),
         "emb_cosine_topk": _COSINE_SQL,
+        "emb_ivf_topk": _ivf_sql(),
+        "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_neardup_lsh": _lsh_neardup_sql(),
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 17), i ->
+                     ('0x' || substr(sha256(text), 2*CAST(i AS INT)-1, 2))::BIGINT))
+                     AS BIGINT) AS feature_byte_sum
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+                   CAST((greatest(1, octet_length(encode(text)) // 64) + 9) // 10
+                     AS BIGINT) AS n_frames
+            FROM documents
+        """,
         "multimodal_binary_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -1,27 +1,40 @@
 """Similarity search over an embedding column (array<float>).
 
-- ``cosine_topk``     brute-force top-k: broadcast the (small) query set,
-                      JVM-side dot/norm via zip_with + aggregate — the exact
-                      baseline. Scales as |queries| × |corpus| with the corpus
-                      scanned once, partition-parallel, no shuffle of the
-                      corpus side (broadcast hash join).
-- ``ivf_topk``        IVF-style scale path: k-means-free deterministic
-                      coarse quantizer (first C corpus vectors as centroids),
-                      vectors assigned to nearest centroid once; queries probe
-                      only the nearest ``nprobe`` cells. Search cost drops to
-                      |queries| × |corpus| · nprobe/C under even cells.
-- ``lsh_bucket_topk`` random-hyperplane LSH variant: sign-bit signature via
-                      deterministic pseudo-hyperplanes (hash-derived), probe
-                      same-bucket candidates only.
+- ``cosine_topk``        brute-force top-k: broadcast the (small) query set,
+                         JVM-side dot/norm via zip_with + aggregate — the
+                         exact baseline. Corpus scanned once, no shuffle.
+- ``embedding_neardup_pairs``  EXACT all-pairs near-dup — blocked: chunk the
+                         corpus, cross-join chunk pairs, score each block pair
+                         with one vectorized numpy matmul (Arrow batches, no
+                         per-row Python), then confirm candidates with the
+                         bit-stable JVM expression. Same results as the naive
+                         quadratic join, ~100× the arithmetic throughput, and
+                         memory bounded by two chunks per task.
+- ``lsh_neardup_pairs``  the SCALE path: multi-table random-hyperplane LSH
+                         prefilter + exact verify. Work scales with bucket
+                         sizes, not n². Recall = 1-(1-p^r)^T with
+                         p = 1 - θ/π per hyperplane.
+- ``ivf_topk``           IVF-style scale path: deterministic coarse quantizer
+                         (first C corpus vectors as centroids), queries probe
+                         the nearest ``nprobe`` cells only.
+- ``lsh_bucket_topk``    single-table hyperplane LSH top-k.
 
-Dot products stay in whole-stage codegen (higher-order functions on the
-array column) — no Python, no UDFs.
+Determinism across engines: hyperplane signs are computed over INTEGER-
+quantized components (floor(v·2²⁰), exact in IEEE double since ×2²⁰ is a
+power-of-two scale), so bucket assignments are bit-identical in any engine —
+the DuckDB contract oracles replicate the LSH pipelines value-for-value.
+Similarities are rounded to 4 digits before ranking/thresholding (ties broken
+by id) for the same reason.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_QSCALE = 1 << 20  # power-of-two quantizer: v*2^20 is EXACT in double
 
 
 def _dot(a, b):
@@ -37,6 +50,63 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(_dot(a, a))
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplane coefficients (seeded)."""
+    rnd = random.Random(seed)
+    return [[1 if rnd.random() < 0.5 else -1 for _ in range(dim)] for _ in range(nbits)]
+
+
+def _lsh_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[int]],
+    nbits: int,
+    out_id: str = "id",
+) -> DataFrame:
+    """(id, tbl, bkt) signature rows: hyperplane sign bits over INTEGER-
+    quantized components (floor(v·2²⁰), exact in double; ×±1 and summed in
+    int64 — associative, so ANY evaluation order gives the same bits). The
+    projection is one vectorized numpy int64 matmul per Arrow batch — no
+    per-row Python, and bit-identical to the DuckDB replication oracle.
+    ``planes`` is grouped into tables of ``nbits`` consecutive planes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_tables = len(planes) // nbits
+    pm = [list(p) for p in planes]
+
+    def gen(batches):
+        P = np.array(pm, dtype=np.int64)  # (n_tables*nbits, dim)
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Q = np.floor(V * float(_QSCALE)).astype(np.int64)
+            bits = (Q @ P.T > 0).astype(np.int64)  # (n, n_tables*nbits)
+            bkt = bits.reshape(len(ids), n_tables, nbits) @ weights  # (n, n_tables)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bkt": bkt.reshape(-1),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.LongType()),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def cosine_topk(
@@ -80,27 +150,67 @@ def cosine_topk(
     )
 
 
-def assign_cells(
-    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+def _verify_pairs(
+    cand: DataFrame, emb: DataFrame, id_col: str, vec_col: str, min_sim_x10k: int
 ) -> DataFrame:
-    """Deterministic coarse quantizer: centroids = the n_cells lowest-id
-    vectors; every vector assigned to its max-cosine centroid."""
-    cents = emb.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
-    )
-    sim = _dot(F.col(vec_col), F.col("centroid")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell"), sim.alias("csim")
-    )
-    from pyspark.sql import Window
+    """Exact confirmation of candidate (a_id, b_id) pairs, in two stages:
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    1. vectorized margin prefilter — candidates join their vectors and a
+       numpy row-wise dot drops everything below threshold − 6e-5 (covers the
+       round-4 half-step plus float error). This is what keeps verification
+       cheap even when a candidate generator floods (LSH on data below its
+       separable regime can emit a large fraction of all pairs).
+    2. bit-stable JVM confirmation — survivors (output-sized by construction)
+       are re-scored with the sequential-fold cosine rounded to 4 digits, the
+       same expression the naive formulation used, so the final rows are
+       value-identical to an exact engine replaying the pipeline."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
+    withv = cand.join(a, "a_id").join(b, "b_id")
+    thresh = min_sim_x10k / 10000.0 - 6e-5
+
+    def gen(batches):
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["av"]), dtype=np.float64)
+            B = np.array(list(pdf["bv"]), dtype=np.float64)
+            sims = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = sims >= thresh
+            yield _pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64)[keep],
+                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64)[keep],
+                }
+            )
+
+    pre_schema = T.StructType(
+        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+    )
+    pre = withv.mapInPandas(gen, pre_schema)
+
+    av = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), _norm(F.col(vec_col)).alias("an")
+    )
+    bv = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), _norm(F.col(vec_col)).alias("bn")
+    )
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+        F.broadcast(pre)
+        .join(av, "a_id")
+        .join(bv, "b_id")
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(min_sim_x10k) / F.lit(10000.0))
     )
 
 
@@ -109,84 +219,148 @@ def embedding_neardup_pairs(
     min_sim_x10k: int = 9000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_chunks: int = 16,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
-    round(cosine, 4)·10⁴ ≥ threshold. Quadratic by definition (the exact
-    baseline); ``lsh_neardup_pairs`` is the scale path."""
-    # norms precomputed once per vector: sqrt(dot(v,v)) here is the exact
-    # expression the per-pair formula used, so results stay bit-identical
-    # while the pair loop does one aggregate instead of three
-    a = emb.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), _norm(F.col(vec_col)).alias("an")
-    )
-    b = emb.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), _norm(F.col(vec_col)).alias("bn")
-    )
-    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
-    # keep sim as a rounded double (identical IEEE ops in any engine computing
-    # the same ordered sum ⇒ bit-identical filter decisions)
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("sim"))
-        .filter(F.col("sim") >= F.lit(min_sim_x10k) / F.lit(10000.0))
-    )
+    """EXACT embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cosine, 4)·10⁴ ≥ threshold.
 
+    All-pairs is O(n²) by definition, but HOW the n² is spent matters: the
+    round-1 formulation evaluated interpreted higher-order aggregates per
+    pair (~µs each). Here the corpus is hashed into ``n_chunks`` blocks,
+    block PAIRS are enumerated (C(C+1)/2 rows, each carrying two vector
+    blocks), and each block pair is scored by ONE numpy float64 matmul inside
+    mapInPandas — Arrow-batched, no per-row Python, memory bounded by two
+    blocks per task, no driver collect. Pairs within 6e-5 of the threshold
+    (covering the round-4 half-step plus matmul error) are then CONFIRMED by
+    the bit-stable JVM expression, so the result is value-identical to the
+    naive join. At 100 TB this operator is still quadratic — use
+    ``lsh_neardup_pairs`` (the scale path) unless exactness is mandatory."""
+    import pandas as pd  # noqa: F401 (mapInPandas batches)
 
-def _hyperplane_signs(vec_col, dim: int, nbits: int, seed: int = 42):
-    """sign-bit signature via deterministic pseudo-random hyperplanes: bit j =
-    [Σ_i v_i · r_ji > 0] with r_ji ∈ {-1, +1} derived from a seeded hash.
-    Returns (bucket long expr). All JVM-side literals + zip_with/aggregate."""
-    import random
+    from pyspark.sql import types as T
 
-    rnd = random.Random(seed)
-    sig = F.lit(0).cast("long")
-    for j in range(nbits):
-        coeffs = F.array(*[F.lit(1.0 if rnd.random() < 0.5 else -1.0) for _ in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    chunked = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).alias("ck"),
+    )
+    blocks = chunked.groupBy("ck").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("vec"))).alias("blk")
+    )
+    pairs = (
+        blocks.select(F.col("ck").alias("a_ck"), F.col("blk").alias("a_blk"))
+        .join(
+            blocks.select(F.col("ck").alias("b_ck"), F.col("blk").alias("b_blk")),
+            F.col("a_ck") <= F.col("b_ck"),
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        .repartition(n_chunks * (n_chunks + 1) // 2)
+    )
+    thresh = min_sim_x10k / 10000.0 - 6e-5
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            a_ids, b_ids = [], []
+            for a_blk, b_blk, same in zip(
+                pdf["a_blk"], pdf["b_blk"], pdf["a_ck"] == pdf["b_ck"]
+            ):
+                ai = np.array([r["id"] for r in a_blk], dtype=np.int64)
+                bi = np.array([r["id"] for r in b_blk], dtype=np.int64)
+                A = np.array([r["vec"] for r in a_blk], dtype=np.float64)
+                B = np.array([r["vec"] for r in b_blk], dtype=np.float64)
+                an = np.linalg.norm(A, axis=1)
+                bn = np.linalg.norm(B, axis=1)
+                sims = (A @ B.T) / np.outer(an, bn)
+                ia, ib = np.nonzero(sims >= thresh)
+                lo = np.minimum(ai[ia], bi[ib])
+                hi = np.maximum(ai[ia], bi[ib])
+                keep = lo < hi  # drops self-pairs; same-chunk dups dedup below
+                a_ids.append(lo[keep])
+                b_ids.append(hi[keep])
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    "a_id": np.concatenate(a_ids) if a_ids else np.array([], dtype=np.int64),
+                    "b_id": np.concatenate(b_ids) if b_ids else np.array([], dtype=np.int64),
+                }
+            )
+
+    cand_schema = T.StructType(
+        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+    )
+    cand = pairs.mapInPandas(gen, cand_schema).distinct()
+    return _verify_pairs(cand, emb, id_col, vec_col, min_sim_x10k)
 
 
-def lsh_bucket_topk(
+def lsh_neardup_pairs(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    nbits: int = 8,
+    min_sim_x10k: int = 9000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 16,
+    nbits: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH top-k: corpus and queries bucketed by an
-    nbits sign signature; each query scores only same-bucket candidates.
-    Search cost ≈ |corpus| / 2^nbits per query under even buckets; recall < 1
-    (baseline: cosine_topk)."""
+    """Embedding near-dup at scale: ``n_tables`` independent hyperplane-LSH
+    tables of ``nbits`` bits; a pair is a candidate if it shares a bucket in
+    ANY table; candidates are confirmed with the exact rounded cosine. The
+    shuffle key is (table, bucket) — work scales with bucket sizes, not n².
+
+    Recall at cosine s: p = 1 - acos(s)/π per plane, 1-(1-p^nbits)^n_tables
+    overall. The defaults target the NEAR-DUPLICATE population: ≈0.93 at
+    s=0.9, ≈0.995 at s=0.95, →1 above. Below s≈0.7 hyperplane bits separate
+    poorly (p barely moves between a 0.3 and a 0.5 pair), so low-threshold
+    searches degrade toward all-pairs candidates — that regime belongs to
+    ``embedding_neardup_pairs`` (exact blocked matmul); the margin prefilter
+    in the verifier keeps even a flooded candidate set cheap to confirm.
+    Precision is 1: verification is exact. Deterministic across engines via
+    integer-quantized projections (module docstring)."""
+    planes = hyperplanes(dim, n_tables * nbits, seed)
+    sig = _lsh_signatures(emb, id_col, vec_col, planes, nbits)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_pairs(cand, emb, id_col, vec_col, min_sim_x10k)
+
+
+def assign_cells(
+    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: centroids = the n_cells lowest-id
+    vectors; every vector assigned to its max-cosine centroid (cosine rounded
+    to 4 digits, ties broken by cell id — reproducible in any engine)."""
+    cents = emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("cnrm"),
+    )
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("centroid")) / (F.col("_nrm") * F.col("cnrm")), 4
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("_nrm"), F.col("cell"), sim.alias("csim")
+    )
     from pyspark.sql import Window
 
-    dim = len(emb.select(vec_col).first()[0])
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-        _hyperplane_signs(F.col(vec_col), dim, nbits, seed).alias("bucket"),
-    )
-    cand = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "_nrm", "cell")
     )
 
 
@@ -200,37 +374,91 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` nearest cells per
-    query. Recall < 1 by design; the exact baseline is cosine_topk."""
+    query. Recall < 1 by design; the exact baseline is cosine_topk. All
+    norms are computed once per vector; every comparison is on the rounded
+    cosine (deterministic cross-engine)."""
     cells = assign_cells(emb, n_cells, id_col, vec_col)
     cents = emb.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("cnrm"),
     )
-    qsim = _dot(F.col("qv"), F.col("centroid")) / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    qsim = F.round(_dot(F.col("qv"), F.col("centroid")) / (F.col("qn") * F.col("cnrm")), 4)
     from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cell", qsim.alias("qsim"))
+        qbase.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "qn", "cell", qsim.alias("qsim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     cand = probes.join(
         cells.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _norm(F.col(vec_col)).alias("cn"),
+            F.col("_nrm").alias("cn"),
             "cell",
         ),
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * F.col("cn")), 4)
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH top-k: corpus and queries bucketed by an nbits
+    sign signature; each query scores only same-bucket candidates. Search
+    cost ≈ |corpus| / 2^nbits per query under even buckets; recall < 1
+    (baseline: cosine_topk). ``dim`` is a parameter — no driver-side probe of
+    the data, and the quantized-integer projections keep the signature
+    expression compact and portable at any dimensionality."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, nbits, seed)
+    csig = _lsh_signatures(emb, id_col, vec_col, planes, nbits).select(
+        F.col("id").alias("neighbor_id"), F.col("bkt").alias("bucket")
+    )
+    qsig = _lsh_signatures(queries, id_col, vec_col, planes, nbits).select(
+        F.col("id").alias("query_id"), F.col("bkt").alias("bucket")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).join(csig, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).join(qsig, "query_id")
+    cand = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
