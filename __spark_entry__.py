@@ -265,6 +265,21 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+def q_cdc_completeness_gate(spark, sf_dir):
+    """Audit-count completeness gate (≈ CompletenessWatermarkUpdater /
+    AuditCountClient): per-partition applied-vs-expected counts with the
+    complete flag that gates the completeness watermark. The 'applied' side
+    simulates a short delivery (events ≤ 7000 ingested so far)."""
+    from gobblin_spark.audit import audit_counts, completeness_report
+
+    ev = _events(spark, sf_dir).withColumn(
+        "log_partition", F.pmod(F.col("user_id"), F.lit(8)).cast("long")
+    )
+    applied = audit_counts(ev.filter(F.col("event_id") <= 7000))
+    expected = audit_counts(ev)
+    return completeness_report(applied, expected)
+
+
 def q_conv_json_decode(spark, sf_dir):
     """Envelope/JSON payload decode (≈ EnvelopeSchemaConverter /
     JsonStringToJsonIntermediateConverter, gobblin-modules/gobblin-kafka-common/
@@ -456,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fork_router": q_cdc_fork_router,
         "cdc_compaction_stats": q_cdc_compaction_stats,
         "cdc_retention_filter": q_cdc_retention_filter,
+        "cdc_completeness_gate": q_cdc_completeness_gate,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -791,6 +807,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_remaining
             FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
             GROUP BY event_type
+        """,
+        "cdc_completeness_gate": """
+            WITH a AS (
+              SELECT user_id % 8 AS log_partition, count(*) AS n_applied
+              FROM events WHERE event_id <= 7000 GROUP BY 1
+            ),
+            e AS (
+              SELECT user_id % 8 AS log_partition, count(*) AS n_expected
+              FROM events GROUP BY 1
+            )
+            SELECT coalesce(a.log_partition, e.log_partition) AS log_partition,
+                   coalesce(n_applied, 0) AS n_applied,
+                   coalesce(n_expected, 0) AS n_expected,
+                   (e.n_expected IS NOT NULL
+                    AND coalesce(n_applied, 0) = e.n_expected) AS complete
+            FROM a FULL OUTER JOIN e ON a.log_partition = e.log_partition
         """,
         "writer_time_partitioning": """
             SELECT strftime(ts, '%Y/%m/%d/%H') AS time_partition, count(*) AS n_rows

@@ -29,7 +29,13 @@ from .dedup import lww_latest
 from .extract import extract_text_udf
 from .lake import SnapshotTable
 from .metrics import lineage_entry, observe_batch, observe_updates
-from .planner import OffsetRange, discover_high_watermarks, plan_batches, range_predicate
+from .planner import (
+    OffsetRange,
+    discover_high_watermarks,
+    discover_low_watermarks,
+    plan_batches,
+    range_predicate,
+)
 from .state import StateStore
 
 # changelog bookkeeping columns that do not land in the target table
@@ -45,6 +51,7 @@ class CdcEngine:
         job_id: str = "cdc",
         errors_path: str | None = None,
         extract: bool = True,
+        reset_policy: str = "error",
     ):
         self.spark = spark
         self.table = table
@@ -52,6 +59,9 @@ class CdcEngine:
         self.job_id = job_id
         self.errors_path = errors_path
         self.extract = extract
+        # how to resume when the committed watermark falls outside the
+        # changelog's available offset window (truncation / retention expiry)
+        self.reset_policy = reset_policy
 
     # ------------------------------------------------------------ watermarks
     def committed_watermarks(self) -> dict[int, int]:
@@ -65,7 +75,14 @@ class CdcEngine:
         self, changelog: DataFrame, max_events_per_batch: int | None = None
     ) -> list[list[OffsetRange]]:
         available = discover_high_watermarks(changelog)
-        return plan_batches(available, self.committed_watermarks(), max_events_per_batch)
+        earliest = discover_low_watermarks(changelog)
+        return plan_batches(
+            available,
+            self.committed_watermarks(),
+            max_events_per_batch,
+            earliest=earliest,
+            reset_policy=self.reset_policy,
+        )
 
     # ---------------------------------------------------------------- apply
     def apply_batch(
@@ -253,6 +270,17 @@ class CdcEngine:
             high = r.high if wm_caps is None else wm_caps.get(r.partition, r.high)
             wm[str(r.partition)] = max(high, committed.get(r.partition, -1))
 
+        # cumulative per-partition applied-offset counters: the audit /
+        # completeness gate compares these against an external expected-count
+        # source before advancing the completeness watermark. They ride the
+        # same atomic commit as the data, so they can never drift from it.
+        pcounts = {
+            str(p): int(v)
+            for p, v in self.table.properties.get("partition_counts", {}).items()
+        }
+        for r in ranges:
+            pcounts[str(r.partition)] = pcounts.get(str(r.partition), 0) + r.count
+
         # lineage rides the SAME commit as data + watermarks (one atomic swap)
         lineage = lineage_entry(batch_id, ranges, {}, self.table.version + 1)
         props = {
@@ -260,6 +288,7 @@ class CdcEngine:
             "batch_seq": seq,
             "last_batch_id": batch_id,
             "last_lineage": lineage,
+            "partition_counts": pcounts,
             **(extra_props or {}),
         }
         result = self.table.merge(updates, properties=props, affected=affected)

@@ -36,6 +36,13 @@ class OffsetRange:
         return self.high - self.low
 
 
+class OffsetOutOfRangeError(ValueError):
+    """Committed watermark falls outside the available offset range — the
+    changelog was truncated or retention expired past the committed position
+    (≈ KafkaSource's new OffsetOutOfRangeException path,
+    gobblin-modules/gobblin-kafka-common/.../kafka/KafkaSource.java:586-683)."""
+
+
 def discover_high_watermarks(changelog: DataFrame) -> dict[int, int]:
     """Max available offset per partition (distributed scan; parquet
     min/max statistics make this cheap)."""
@@ -47,10 +54,75 @@ def discover_high_watermarks(changelog: DataFrame) -> dict[int, int]:
     return {int(r["log_partition"]): int(r["high"]) for r in rows}
 
 
+def discover_low_watermarks(changelog: DataFrame) -> dict[int, int]:
+    """Earliest still-available offset per partition (the retention floor)."""
+    rows = (
+        changelog.groupBy("log_partition")
+        .agg(F.min("log_offset").alias("low"))
+        .collect()
+    )
+    return {int(r["log_partition"]): int(r["low"]) for r in rows}
+
+
+def resolve_start_offsets(
+    available: dict[int, int],
+    committed: dict[int, int],
+    earliest: dict[int, int] | None = None,
+    reset_policy: str = "error",
+) -> dict[int, int]:
+    """Validate committed watermarks against the available offset window and
+    resolve each partition's effective start offset (exclusive low).
+
+    Two out-of-range cases exist in a real changelog (both hit on day one of
+    running against a retention-limited log — KafkaSource.java:586-683):
+
+    - ``committed > available high``: the log was truncated/recreated; the
+      committed position no longer exists ahead of the data.
+    - ``committed < earliest - 1``: retention expired offsets that were never
+      applied; the interval (committed, earliest) is GONE — resuming silently
+      from earliest would hide data loss.
+
+    ``reset_policy``:
+      ``error``    raise OffsetOutOfRangeError (the safe default);
+      ``earliest`` restart from the retention floor (re-reads what remains);
+      ``latest``   jump to the head (skips the lost backlog);
+      ``nearest``  earliest when behind the floor, latest when past the head
+                   (Gobblin's ResetOnOffsetOutOfRange=nearest).
+    """
+    if reset_policy not in ("error", "earliest", "latest", "nearest"):
+        raise ValueError(f"unknown reset_policy: {reset_policy}")
+    earliest = earliest or {}
+    lows: dict[int, int] = {}
+    for p, hi in available.items():
+        c = committed.get(p, -1)
+        floor = earliest.get(p, 0)
+        if c > hi:  # truncated/recreated log
+            if reset_policy == "error":
+                raise OffsetOutOfRangeError(
+                    f"partition {p}: committed {c} > available high {hi} (log truncated)"
+                )
+            lows[p] = floor - 1 if reset_policy == "earliest" else hi
+        elif c != -1 and c < floor - 1:  # retention expired past committed
+            if reset_policy == "error":
+                raise OffsetOutOfRangeError(
+                    f"partition {p}: committed {c} < earliest available {floor} "
+                    f"(offsets ({c}, {floor}) expired unapplied)"
+                )
+            lows[p] = hi if reset_policy == "latest" else floor - 1
+        elif c == -1 and floor > 0:
+            # bootstrap against an already-trimmed log: start at the floor
+            lows[p] = floor - 1
+        else:
+            lows[p] = c
+    return lows
+
+
 def plan_batches(
     available: dict[int, int],
     committed: dict[int, int] | None = None,
     max_events_per_batch: int | None = None,
+    earliest: dict[int, int] | None = None,
+    reset_policy: str = "error",
 ) -> list[list[OffsetRange]]:
     """Slice per-partition backlogs into batches of ≤ max_events_per_batch
     total events (offsets are dense, so event count == offset delta).
@@ -58,10 +130,12 @@ def plan_batches(
     Each batch takes a proportional slice of every lagging partition, so one
     hot partition cannot starve the others (the packers' load-balancing goal).
     Partitions with no new data get no range but their watermark is carried
-    forward by the committer (empty-work-unit semantics).
+    forward by the committer (empty-work-unit semantics). Committed positions
+    outside the available window are resolved per ``reset_policy`` (see
+    resolve_start_offsets) instead of silently planning nothing.
     """
     committed = committed or {}
-    lows = {p: committed.get(p, -1) for p in available}
+    lows = resolve_start_offsets(available, committed, earliest, reset_policy)
     batches: list[list[OffsetRange]] = []
     while True:
         backlog = {p: available[p] - lows[p] for p in available if available[p] > lows[p]}

@@ -24,9 +24,24 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .engine import CdcEngine
+from .schema import merge_schemas
+
+
+class SchemaChangedError(RuntimeError):
+    """A file in the current micro-batch carries a schema WIDER than the
+    stream's frozen read schema (the mid-stream added-column case,
+    ≈ MetadataUpdateControlMessage / KafkaSchemaChangeInjector.java:53-77).
+    Raised BEFORE the batch is applied, so nothing commits; the caller
+    restarts the tail with the merged schema and the failed batch replays
+    from the stream checkpoint under the new schema."""
+
+    def __init__(self, new_schema: T.StructType):
+        super().__init__(f"stream schema widened to: {new_schema.simpleString()}")
+        self.new_schema = new_schema
 
 
 def tail_changelog(
@@ -38,23 +53,45 @@ def tail_changelog(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     on_batch=None,
+    detect_schema_change: bool = True,
 ):
     """Start the streaming tail; returns the StreamingQuery.
 
     Use ``available_now=True`` to drain the current backlog and stop (the
     incremental-batch mode Gobblin's batch jobs implement); a positive
     ``trigger_seconds`` for a continuous tail (the streaming mode).
+
+    ``detect_schema_change``: Structured Streaming freezes the read schema at
+    stream start, so a mid-stream widened file would silently DROP its new
+    columns. With detection on, each micro-batch's source files (a metadata-
+    sized distinct of input_file_name) are footer-checked against the frozen
+    schema; a widening raises SchemaChangedError before anything commits —
+    fail-and-restart, the same model lakehouse streaming sinks use. At very
+    high file rates, gate this behind a control-message channel instead of
+    per-batch footer reads (the reference's MetadataUpdateControlMessage).
     """
     spark = engine.spark
     if schema is None:
-        schema = spark.read.parquet(changelog_path).schema
+        schema = spark.read.option("mergeSchema", True).parquet(changelog_path).schema
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changelog_path)
+    frozen = schema
 
     def _apply(batch_df, epoch_id: int):
+        if detect_schema_change:
+            files = [
+                r[0]
+                for r in batch_df.select(F.input_file_name()).distinct().collect()
+                if r[0]
+            ]
+            if files:
+                actual = spark.read.option("mergeSchema", True).parquet(*files).schema
+                merged = merge_schemas(frozen, actual)
+                if merged != frozen:
+                    raise SchemaChangedError(merged)
         result = engine.apply_stream_batch(batch_df, batch_id=f"epoch-{epoch_id:06d}")
         if on_batch is not None:
             on_batch(result)
@@ -83,3 +120,44 @@ def drain(engine: CdcEngine, changelog_path: str, checkpoint_dir: str, **kwargs)
     )
     q.awaitTermination()
     return results
+
+
+def drain_evolving(
+    engine: CdcEngine,
+    changelog_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    max_restarts: int = 4,
+    **kwargs,
+) -> list[dict]:
+    """Drain with automatic schema-evolution restarts: when a micro-batch
+    surfaces a widened file, the failed (uncommitted) batch replays under the
+    merged schema on the next attempt and the new column flows through the
+    engine's existing schema-merge-on-write path into the table."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    results: list[dict] = []  # shared across attempts: batches applied before
+    current = schema          # a schema abort are already committed
+    for _ in range(max_restarts + 1):
+        q = tail_changelog(
+            engine,
+            changelog_path,
+            checkpoint_dir,
+            schema=current,
+            available_now=True,
+            on_batch=results.append,
+            **kwargs,
+        )
+        try:
+            q.awaitTermination()
+            return results
+        except StreamingQueryException as e:
+            # foreachBatch exceptions surface wrapped; re-resolve the widened
+            # schema from the landing zone and restart the tail
+            if "SchemaChangedError" not in str(e):
+                raise
+            actual = engine.spark.read.option("mergeSchema", True).parquet(
+                changelog_path
+            ).schema
+            current = merge_schemas(current, actual) if current is not None else actual
+    raise RuntimeError(f"schema still evolving after {max_restarts} restarts")

@@ -14,7 +14,7 @@ import pytest
 from gobblin_spark.fixtures import _to_arrow, make_changelog
 from gobblin_spark.lake import SnapshotTable
 from gobblin_spark.engine import CdcEngine
-from gobblin_spark.streaming import drain
+from gobblin_spark.streaming import drain, drain_evolving
 
 from conftest import table_fingerprint
 from helpers import PAGES_SCHEMA, oracle_final, visible_with_offset
@@ -73,6 +73,42 @@ def test_stream_redelivery_is_fenced(spark, stream_env):
     assert all(x.get("skipped") for x in r)
     assert table.version == version
     assert table_fingerprint(visible_with_offset(table)) == fp
+
+
+def test_stream_schema_evolution_mid_tail(spark, stream_env):
+    """A column added MID-TAIL (a widened file arriving after the stream
+    froze its schema) must land in the table, not be silently dropped: the
+    widened batch fails before commit, the tail restarts with the merged
+    schema, and the replayed batch flows through schema-merge-on-write
+    (≈ KafkaSchemaChangeInjector end-to-end, now in streaming too)."""
+    clog, seg_a, seg_b, src, table, engine, ckpt = stream_env
+
+    _land(seg_a, src, "part-000.parquet")
+    frozen = spark.read.parquet(src).schema  # the schema the stream froze
+
+    import pyarrow as pa
+
+    widened = _to_arrow(seg_b.reset_index(drop=True)).append_column(
+        "source_tag", pa.array(["crawl-b"] * len(seg_b), type=pa.string())
+    )
+    pq.write_table(widened, os.path.join(src, "part-001.parquet"))
+
+    # maxFilesPerTrigger=1 ⇒ the old-schema file applies in batch 1; batch 2
+    # surfaces the widened file, aborts uncommitted, and the drain restarts
+    results = drain_evolving(
+        engine, src, ckpt, schema=frozen, max_files_per_trigger=1
+    )
+    applied = [r for r in results if not r.get("skipped")]
+    assert len(applied) >= 2
+
+    assert "source_tag" in table.schema().fieldNames()
+    rows = table.read_visible()
+    tagged = rows.filter(rows.source_tag == "crawl-b").count()
+    assert tagged > 0  # the widened rows kept their new column
+    # rows written before the evolution read back as NULL for the new column
+    assert rows.filter(rows.source_tag.isNull()).count() > 0
+    got = table_fingerprint(visible_with_offset(table))
+    assert got == table_fingerprint(oracle_final(clog, None))
 
 
 def test_stream_many_microbatches(spark, stream_env):
