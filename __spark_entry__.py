@@ -27,7 +27,12 @@ from gobblin_spark.operators.dedup_families import (
     simhash_near_dup_pairs,
 )
 from gobblin_spark.operators.fork import fork_counts
-from gobblin_spark.operators.multimodal import binary_meta, extract_features, sample_frames
+from gobblin_spark.operators.multimodal import (
+    binary_meta,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 from gobblin_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -377,6 +382,18 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (STUB decode, real mapInPandas 1:1 transform):
+    the deterministic stub payload is a sha256 digest, so the DuckDB oracle
+    replicates it byte-for-byte (compared as lowercase hex)."""
+    docs = _docs(spark, sf_dir)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    resized = resize_images(payloads, width=64, height=48)
+    return resized.select(
+        "doc_id", "width", "height", F.lower(F.hex(F.col("payload"))).alias("payload_sha")
+    )
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """Video-frame sampling fan-out (STUB decode, real 1:N mapInPandas
     plumbing): frames per doc with deterministic pseudo frame count."""
@@ -492,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "emb_lsh_topk": q_emb_lsh_topk,
         "multimodal_binary_stats": q_multimodal_binary_stats,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
@@ -916,6 +934,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(range(1, 17), i ->
                      ('0x' || substr(sha256(text), 2*CAST(i AS INT)-1, 2))::BIGINT))
                      AS BIGINT) AS feature_byte_sum
+            FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id, 64 AS width, 48 AS height,
+                   sha256(text || '64x48') AS payload_sha
             FROM documents
         """,
         "multimodal_frame_sample": """

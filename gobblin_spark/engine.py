@@ -52,6 +52,7 @@ class CdcEngine:
         errors_path: str | None = None,
         extract: bool = True,
         reset_policy: str = "error",
+        merge_mode: str = "rewrite",
     ):
         self.spark = spark
         self.table = table
@@ -62,6 +63,10 @@ class CdcEngine:
         # how to resume when the committed watermark falls outside the
         # changelog's available offset window (truncation / retention expiry)
         self.reset_policy = reset_policy
+        # "rewrite": copy-on-write merge (shuffle-free reads); "delta":
+        # merge-on-read generation appends — O(batch) commits for sustained
+        # high-frequency ingest, folded back by compaction (see lake.merge)
+        self.merge_mode = merge_mode
 
     # ------------------------------------------------------------ watermarks
     def committed_watermarks(self) -> dict[int, int]:
@@ -251,8 +256,11 @@ class CdcEngine:
         # would re-run the LWW shuffle a second time per batch. When the batch
         # is far larger than the bucket count, every bucket is touched with
         # near-certainty (coupon collector) — skip the discovery job entirely.
+        # Delta commits never read the target, so they skip discovery too.
         n_buckets = self.table.n_buckets
-        if sum(r.count for r in ranges) >= 64 * n_buckets:
+        if self.merge_mode == "delta":
+            affected = None
+        elif sum(r.count for r in ranges) >= 64 * n_buckets:
             affected = list(range(n_buckets))
         else:
             affected = [
@@ -291,7 +299,9 @@ class CdcEngine:
             "partition_counts": pcounts,
             **(extra_props or {}),
         }
-        result = self.table.merge(updates, properties=props, affected=affected)
+        result = self.table.merge(
+            updates, properties=props, affected=affected, mode=self.merge_mode
+        )
         metrics = {**read_obs.get, **upd_obs.get} if use_observe else {
             "offsets_applied": sum(r.count for r in ranges)
         }

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import lww_latest
 from .schema import conform, merge_schemas
 
 HIDDEN_FIELDS = [
@@ -148,30 +149,64 @@ class SnapshotTable:
         self._commit(m)
 
     # ---------------------------------------------------------------- read
+    @staticmethod
+    def _bucket_entries(e) -> list[dict]:
+        """Manifest bucket value: a single entry (format v1) or a GENERATION
+        LIST (delta commits append a generation instead of rewriting)."""
+        return e if isinstance(e, list) else [e]
+
     def read(self, buckets: list[int] | None = None, include_hidden: bool = False) -> DataFrame:
         """Scan, pruned to ``buckets`` when given. Data-file groups written
         under older schemas are cast (widen/null-fill) to the current schema
-        — the Iceberg read-time schema-resolution model."""
+        — the Iceberg read-time schema-resolution model.
+
+        Merge-on-read: buckets holding multiple delta GENERATIONS are
+        collapsed to one row per key by LWW over the hidden version columns
+        (newest wins — tombstones included, so a delete in a later generation
+        hides every earlier version). Single-generation buckets skip the
+        collapse entirely: the extra shuffle is paid only for the fraction of
+        the table that compaction hasn't folded yet, which is what makes
+        delta commits O(batch) on write without making every read O(table)
+        in shuffle."""
         m = self.manifest()
         full = _with_hidden(self.schema())
-        entries: dict[tuple[str, int], list[str]] = {}
+        single: dict[tuple[str, int], list[str]] = {}
+        multi: dict[tuple[str, int], list[str]] = {}
         for b, e in m["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            entries.setdefault((e["data"], e["schema_id"]), []).append(
-                os.path.join(self.root, e["data"], f"_bucket={b}")
-            )
-        parts: list[DataFrame] = []
-        for (_, schema_id), paths in entries.items():
-            stored = _with_hidden(self._schema_for(schema_id))
-            df = self.spark.read.schema(stored).parquet(*paths)
-            parts.append(conform(df, full))
-        if not parts:
-            out = self.spark.createDataFrame([], full)
-        else:
+            entries = self._bucket_entries(e)
+            target = single if len(entries) == 1 else multi
+            for ent in entries:
+                target.setdefault((ent["data"], ent["schema_id"]), []).append(
+                    os.path.join(self.root, ent["data"], f"_bucket={b}")
+                )
+
+        def _load(groups: dict[tuple[str, int], list[str]]) -> DataFrame | None:
+            parts: list[DataFrame] = []
+            for (_, schema_id), paths in groups.items():
+                stored = _with_hidden(self._schema_for(schema_id))
+                df = self.spark.read.schema(stored).parquet(*paths)
+                parts.append(conform(df, full))
+            if not parts:
+                return None
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            return out
+
+        base, delta = _load(single), _load(multi)
+        if delta is not None:
+            delta = lww_latest(delta, [self.key], ["_version_ts", "_version_off"])
+            delta = delta.select(full.fieldNames())
+        if base is None and delta is None:
+            out = self.spark.createDataFrame([], full)
+        elif base is None:
+            out = delta
+        elif delta is None:
+            out = base
+        else:
+            out = base.unionByName(delta)
         if not include_hidden:
             out = out.filter(~F.col("_deleted")).drop(*HIDDEN)
         return out
@@ -185,6 +220,7 @@ class SnapshotTable:
         updates: DataFrame,
         properties: dict | None = None,
         affected: list[int] | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """Idempotent LWW MERGE (the PySpark re-expression of
         ``MERGE INTO t USING u ON t.key = u.key WHEN MATCHED AND u.version >
@@ -206,7 +242,20 @@ class SnapshotTable:
         (_bucket, key) rides the same exchange) pay ZERO extra shuffle here.
         Only affected buckets are read and rewritten; the rest of the table is
         carried forward by manifest reference, zero data movement.
+
+        ``mode="delta"`` (merge-on-read, the Iceberg CDC commit shape): the
+        deduped update set is APPENDED as a new generation of each written
+        bucket — no target read, no rewrite; commit cost is O(batch) instead
+        of O(affected table fraction). Readers collapse generations by LWW
+        (see read()); compact() folds them back to one. At 10^10 events the
+        per-batch rewrite is the bottleneck, so delta + periodic compaction
+        (recompaction_due) is the sustained-ingest configuration; ``rewrite``
+        keeps reads shuffle-free and remains right for large/rare batches.
+        Both modes commit watermarks/properties in the same atomic swap and
+        preserve identical LWW/tombstone semantics.
         """
+        if mode not in ("rewrite", "delta"):
+            raise ValueError(f"unknown merge mode: {mode}")
         m = self.manifest()
         upd_visible = T.StructType(
             [f for f in updates.schema.fields if f.name not in HIDDEN and f.name != "_bucket"]
@@ -225,6 +274,47 @@ class SnapshotTable:
         else:
             u = conform(updates, full).withColumn("_bucket", self.bucket_expr())
             u = u.repartition(self.n_buckets, F.col("_bucket"))
+
+        if mode == "delta":
+            new_version = m["version"] + 1
+            data_rel = f"data/v{new_version:06d}"
+            out_path = os.path.join(self.root, data_rel)
+            u.select([*names, "_bucket"]).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(out_path)
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_path)
+                if d.startswith("_bucket=")
+            }
+            new_buckets = {
+                b: list(self._bucket_entries(e)) for b, e in m["buckets"].items()
+            }
+            for b in sorted(written):
+                new_buckets.setdefault(str(b), []).append(
+                    {"data": data_rel, "schema_id": schema_id}
+                )
+            schemas = dict(m["schemas"])
+            if schema_changed:
+                schemas[str(schema_id)] = new_schema.jsonValue()
+            self._commit(
+                {
+                    **m,
+                    "version": new_version,
+                    "parent": m["version"],
+                    "current_schema_id": schema_id,
+                    "schemas": schemas,
+                    "buckets": new_buckets,
+                    "properties": {**m["properties"], **(properties or {})},
+                }
+            )
+            return {
+                "version": new_version,
+                "mode": "delta",
+                "affected_buckets": sorted(written),
+                "schema_changed": schema_changed,
+            }
+
         if affected is None:
             # callers that know the batch can pass `affected` computed from the
             # raw scan (cheap, column-pruned); deriving it from `updates` here
@@ -381,7 +471,8 @@ class SnapshotTable:
         for v in keep:
             with open(os.path.join(meta, f"v{v:06d}.json")) as f:
                 mv = json.load(f)
-            keep_dirs |= {e["data"] for e in mv["buckets"].values()}
+            for e in mv["buckets"].values():
+                keep_dirs |= {ent["data"] for ent in self._bucket_entries(e)}
         removed = []
         for v in versions:
             if v in keep:

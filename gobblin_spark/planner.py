@@ -69,9 +69,15 @@ def resolve_start_offsets(
     committed: dict[int, int],
     earliest: dict[int, int] | None = None,
     reset_policy: str = "error",
+    bootstrap_lookback: int | None = None,
 ) -> dict[int, int]:
     """Validate committed watermarks against the available offset window and
     resolve each partition's effective start offset (exclusive low).
+
+    ``bootstrap_lookback``: a partition with NO committed watermark starts at
+    most this many offsets behind the head instead of replaying the whole
+    retained log (KafkaSource's lookback bootstrap — a fresh pipeline against
+    a long-retention topic should not spend its first day on history).
 
     Two out-of-range cases exist in a real changelog (both hit on day one of
     running against a retention-limited log — KafkaSource.java:586-683):
@@ -109,9 +115,13 @@ def resolve_start_offsets(
                     f"(offsets ({c}, {floor}) expired unapplied)"
                 )
             lows[p] = hi if reset_policy == "latest" else floor - 1
-        elif c == -1 and floor > 0:
-            # bootstrap against an already-trimmed log: start at the floor
-            lows[p] = floor - 1
+        elif c == -1:
+            # bootstrap: start at the retention floor, optionally capped to a
+            # lookback window behind the head
+            start = floor - 1
+            if bootstrap_lookback is not None:
+                start = max(start, hi - bootstrap_lookback)
+            lows[p] = start
         else:
             lows[p] = c
     return lows
@@ -123,6 +133,7 @@ def plan_batches(
     max_events_per_batch: int | None = None,
     earliest: dict[int, int] | None = None,
     reset_policy: str = "error",
+    bootstrap_lookback: int | None = None,
 ) -> list[list[OffsetRange]]:
     """Slice per-partition backlogs into batches of ≤ max_events_per_batch
     total events (offsets are dense, so event count == offset delta).
@@ -135,7 +146,9 @@ def plan_batches(
     resolve_start_offsets) instead of silently planning nothing.
     """
     committed = committed or {}
-    lows = resolve_start_offsets(available, committed, earliest, reset_policy)
+    lows = resolve_start_offsets(
+        available, committed, earliest, reset_policy, bootstrap_lookback
+    )
     batches: list[list[OffsetRange]] = []
     while True:
         backlog = {p: available[p] - lows[p] for p in available if available[p] > lows[p]}

@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--n-batches", type=int, default=4)
     ap.add_argument("--no-extract", action="store_true")
+    ap.add_argument(
+        "--merge-mode",
+        choices=("rewrite", "delta"),
+        default="rewrite",
+        help="delta = merge-on-read generation appends (O(batch) commits)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
         "--n-buckets",
@@ -74,7 +80,13 @@ def main() -> None:
     table_root = os.path.join(args.workdir, f"pages_table_c{cores}")
     shutil.rmtree(table_root, ignore_errors=True)
     table = SnapshotTable.create(spark, table_root, schema, key="url", n_buckets=args.n_buckets)
-    engine = CdcEngine(spark, table, job_id=f"scale-{cores}", extract=not args.no_extract)
+    engine = CdcEngine(
+        spark,
+        table,
+        job_id=f"scale-{cores}",
+        extract=not args.no_extract,
+        merge_mode=args.merge_mode,
+    )
 
     tune_input_splits(spark, args.changelog)
     changelog = spark.read.parquet(args.changelog)
@@ -109,6 +121,7 @@ def main() -> None:
                 "n_batches": len(results),
                 "apply_sec": round(apply_sec, 3),
                 "events_per_sec": round(n_events / apply_sec, 1),
+                "merge_mode": args.merge_mode,
                 "final_version": table.version,
             }
         )

@@ -51,6 +51,14 @@ def test_retention_expired_policies():
     assert resolve_start_offsets(avail, {0: 299}, earliest) == {0: 299}
 
 
+def test_bootstrap_lookback():
+    # fresh pipeline starts at most `lookback` offsets behind the head…
+    assert resolve_start_offsets({0: 1000}, {}, {0: 0}, bootstrap_lookback=100) == {0: 900}
+    # …but never before the retention floor, and committed partitions ignore it
+    assert resolve_start_offsets({0: 1000}, {}, {0: 950}, bootstrap_lookback=100) == {0: 949}
+    assert resolve_start_offsets({0: 1000}, {0: 500}, {0: 0}, bootstrap_lookback=100) == {0: 500}
+
+
 def test_bootstrap_against_trimmed_log():
     assert resolve_start_offsets({0: 1000}, {}, {0: 300}) == {0: 299}
     batches = plan_batches({0: 1000}, {}, earliest={0: 300})
