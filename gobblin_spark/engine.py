@@ -330,15 +330,48 @@ class CdcEngine:
         changelog: DataFrame | str,
         max_events_per_batch: int | None = None,
         max_batches: int | None = None,
+        commit_policy: str = "full",
     ) -> list[dict]:
         """Incremental apply loop: plan from committed watermarks, apply each
-        batch, commit, repeat. Safe to re-run any time (idempotent)."""
+        batch, commit, repeat. Safe to re-run any time (idempotent).
+
+        ``commit_policy`` (≈ JobCommitPolicy, gobblin-api/.../JobCommitPolicy
+        .java): ``full`` = first failed batch aborts the loop (already-
+        committed batches stay committed — each commit is atomic — and the
+        next run resumes exactly where the failure fenced it); ``partial`` =
+        COMMIT_SUCCESSFUL_TASKS: a failed batch POISONS its partitions (their
+        later ranges are dropped — applying them would advance the watermark
+        over the failed interval and fence it out forever) while every other
+        partition keeps progressing. Failed/poisoned work is naturally
+        retried on the next run: its watermarks never advanced."""
+        if commit_policy not in ("full", "partial"):
+            raise ValueError(f"unknown commit_policy: {commit_policy}")
         if isinstance(changelog, str):
             changelog = self.spark.read.parquet(changelog)
         batches = self.plan(changelog, max_events_per_batch)
         if max_batches is not None:
             batches = batches[:max_batches]
-        return [self.apply_batch(changelog, ranges) for ranges in batches]
+        results: list[dict] = []
+        poisoned: set[int] = set()
+        for ranges in batches:
+            ranges = [r for r in ranges if r.partition not in poisoned]
+            if not ranges:
+                continue
+            try:
+                results.append(self.apply_batch(changelog, ranges))
+            except Exception as e:  # noqa: BLE001 — per-batch isolation
+                if commit_policy == "full":
+                    raise
+                poisoned |= {r.partition for r in ranges}
+                results.append(
+                    {
+                        "skipped": False,
+                        "failed": True,
+                        "error": str(e),
+                        "ranges": {str(r.partition): [r.low, r.high] for r in ranges},
+                    }
+                )
+        return results
 
     def bootstrap(self, pages: DataFrame) -> dict:
         """Load an initial snapshot (version = (warc_ts, -1) so any changelog

@@ -49,7 +49,7 @@ def generate_changelog(workdir: str, n_events: int) -> str:
     return path
 
 
-def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: int, mem_gb: int, n_buckets: int = 32) -> dict:
+def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: int, mem_gb: int, n_buckets: int = 32, merge_mode: str = "rewrite") -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
@@ -76,6 +76,8 @@ def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: i
         str(n_batches),
         "--n-buckets",
         str(n_buckets),
+        "--merge-mode",
+        merge_mode,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -98,6 +100,7 @@ def main() -> None:
         help="table layout buckets; default sizes each bucket to ~256MB of rows",
     )
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--merge-mode", choices=("rewrite", "delta"), default="rewrite")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="gobblin-scaling-")
@@ -112,7 +115,7 @@ def main() -> None:
         for cores in (args.n, 4 * args.n):
             best = None
             for _ in range(args.repeats):
-                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets)
+                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode)
                 if best is None or r["events_per_sec"] > best["events_per_sec"]:
                     best = r
             levels[cores] = best
@@ -122,6 +125,7 @@ def main() -> None:
         result = {
             "n_events": args.events,
             "n_batches": args.n_batches,
+            "merge_mode": args.merge_mode,
             "levels": levels,
             "scaling_efficiency": round(eff, 3),
             "criterion": ">=0.8",
@@ -147,7 +151,7 @@ identical pre-generated input ran at two parallelism levels via
 Input: {result["n_events"]:,} synthetic change events (deterministic, distributed
 generation — gobblin_spark/datagen.py), 32 log partitions, replayed in
 {result["n_batches"]} fenced batches (plan → LWW dedup → vectorized text
-extraction → bucket-pruned MERGE → checkpoint commit).
+extraction → {result["merge_mode"]} MERGE → checkpoint commit).
 
 | cluster size | events/sec | wall sec |
 |---|---|---|

@@ -113,6 +113,56 @@ def test_engine_replay_over_truncated_changelog(spark, tmp_path):
     assert t.read_visible().count() == 200  # 0..99 and 300..399
 
 
+# ---------------------------------------------------------- commit policies
+
+
+class _FlakyEngine(CdcEngine):
+    """Fails any batch containing a chosen offset — once (simulated task
+    crash); subsequent runs succeed."""
+
+    def __init__(self, *a, poison_offset: int, **kw):
+        super().__init__(*a, **kw)
+        self.poison_offset = poison_offset
+        self.tripped = False
+
+    def apply_batch(self, changelog, ranges, batch_id=None):
+        if not self.tripped and any(
+            r.low < self.poison_offset <= r.high for r in ranges
+        ):
+            self.tripped = True
+            raise RuntimeError("simulated task failure")
+        return super().apply_batch(changelog, ranges, batch_id)
+
+
+def test_commit_policy_partial_isolates_failure_and_recovers(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), _TABLE_SCHEMA, key="url", n_buckets=4)
+    clog = _clog(spark, range(100))
+    engine = _FlakyEngine(spark, t, job_id="p", extract=False, poison_offset=30)
+
+    # full (default): the failure aborts the loop after batch 1 committed
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="simulated"):
+        engine.run(clog, max_events_per_batch=25)
+    assert engine.committed_watermarks() == {0: 24}
+
+    # partial: the failed batch poisons its partition's LATER ranges (they
+    # would otherwise fence the failed interval out) but commits nothing bogus
+    engine2 = _FlakyEngine(spark, t, job_id="p", extract=False, poison_offset=60)
+    results = engine2.run(clog, max_events_per_batch=25, commit_policy="partial")
+    assert any(r.get("failed") for r in results)
+    applied = [r for r in results if not r.get("failed") and not r.get("skipped")]
+    assert applied  # progress before the poisoned range still committed
+    wm = engine2.committed_watermarks()[0]
+    assert wm < 59  # never advanced over the failed interval
+
+    # next run retries exactly the un-committed work and completes
+    engine3 = CdcEngine(spark, t, job_id="p", extract=False)
+    engine3.run(clog)
+    assert engine3.committed_watermarks() == {0: 99}
+    assert t.read_visible().count() == 100
+
+
 # -------------------------------------------------------- completeness gate
 
 

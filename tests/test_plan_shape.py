@@ -82,6 +82,42 @@ def test_range_scan_pushes_filters_to_parquet(spark, tmp_path):
     assert "html" not in read_schema
 
 
+def test_delta_commit_plan_has_no_target_scan(spark, tmp_path):
+    """The delta (merge-on-read) commit must be write-only: no target-table
+    scan, no join — commit cost O(batch) by plan shape, not by luck."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.lake import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("warc_ts", T.TimestampType())]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), schema, key="url", n_buckets=4)
+    hidden = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_version_ts", T.TimestampType()),
+            T.StructField("_version_off", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    ts = dt.datetime(2026, 1, 1)
+    upd = spark.createDataFrame([("a", ts, ts, 1, False)], hidden)
+    t.merge(upd, mode="delta")  # seed a generation
+    t.merge(upd, mode="delta")
+
+    # delta READ collapses generations with exactly one aggregate; a
+    # single-generation table reads with none
+    plan = _explain(t.read(), "simple")
+    assert "max_by" in plan or "Aggregate" in plan or "HashAggregate" in plan, plan
+
+    t.compact()
+    plan = _explain(t.read(), "simple")
+    assert "max_by" not in plan, plan  # folded: collapse-free scan again
+
+
 def test_partition_pruning_on_hive_partition_column(spark, tmp_path):
     clog = make_changelog(300, n_urls=40, n_partitions=4, seed=3)
     path = os.path.join(str(tmp_path), "clog3")
