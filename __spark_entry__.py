@@ -40,7 +40,15 @@ from gobblin_spark.operators.similarity import (
     lsh_bucket_topk,
     lsh_neardup_pairs,
 )
-from gobblin_spark.operators.textstats import fingerprint, lang_id, quality_score, token_stats
+from gobblin_spark.operators.textstats import (
+    BPE_PATTERN,
+    bpe_token_stats,
+    fingerprint,
+    lang_id,
+    quality_score,
+    repetition_stats,
+    token_stats,
+)
 
 DELETE_TYPE = "error"  # event_type that plays the changelog 'D' op
 
@@ -426,6 +434,17 @@ def q_docs_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_docs_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (the LLM-tokenizer splitting unit) —
+    pattern restricted to Java-regex ∩ RE2 constructs so DuckDB replicates."""
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def q_docs_repetition(spark, sf_dir):
+    """Duplicate-line ratio (boilerplate quality signal), exact basis points."""
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_docs_ngram_jaccard(spark, sf_dir):
     # n=20 char shingles: selective enough that prefix filtering keeps the
     # candidate join linear-ish even on tiny-vocabulary corpora
@@ -500,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": q_docs_quality_score,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_repetition": q_docs_repetition,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_neardup": q_docs_minhash_neardup,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -921,6 +942,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp64 FROM documents
+        """,
+        "docs_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+                     AS n_bpe_pretokens,
+                   len({_TOKENS}) AS n_ws_tokens
+            FROM documents
+        """,
+        "docs_repetition": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 x -> length(x) > 0) AS lines
+              FROM documents
+            )
+            SELECT doc_id, len(lines) AS n_lines,
+                   ((len(lines) - len(list_distinct(lines))) * 10000)
+                     // greatest(len(lines), 1) AS dup_line_bp
+            FROM l
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
         "docs_minhash_neardup": _minhash_sql(),

@@ -51,18 +51,7 @@ def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(k)]
 
 
-def _spread(df: DataFrame, col: str) -> DataFrame:
-    """Rebalance for a CPU-bound-per-byte stage (shingling/hashing): hash
-    repartition on ``col`` with a width floor of the cluster parallelism.
-
-    A plain REBALANCE hint is wrong here — AQE coalesces by BYTES, and a few
-    MB of text collapses to one partition even though its shingle+hash cost
-    is thousands of times its size. The explicit count keeps every core busy
-    in the sandbox while staying data-proportional at scale (never below the
-    source's own partition count)."""
-    sc = df.sparkSession.sparkContext
-    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
-    return df.repartition(n, F.col(col))
+from .util import spread as _spread  # CPU-stage rebalance (see util.spread)
 
 
 def exact_dedup(

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .util import spread
+
 _MAGIC = [
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
@@ -83,7 +85,7 @@ def binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(gen, META_SCHEMA)
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(gen, META_SCHEMA)
 
 
 def resize_images(
@@ -124,7 +126,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(gen, out_schema)
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(gen, out_schema)
 
 
 def sample_frames(
@@ -161,7 +163,7 @@ def sample_frames(
                     frames.append(hashlib.sha256(payload + fi.to_bytes(4, "big")).digest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, bin_col).mapInPandas(gen, out_schema)
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(gen, out_schema)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
@@ -176,4 +178,4 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payl
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
 
-    return df.select(id_col, bin_col).mapInPandas(gen, FEATURE_SCHEMA)
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(gen, FEATURE_SCHEMA)

@@ -72,6 +72,43 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+# GPT-2-style pre-tokenizer (simplified: no lookbehind/lookahead — the
+# contraction alternates, then letter runs, digit runs, punctuation runs,
+# whitespace runs). Deliberately restricted to constructs shared by Java
+# regex and RE2 so an independent engine reproduces the counts exactly.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish pre-token count per document (the unit LLM tokenizers split
+    before merges), alongside the whitespace token count — both JVM-side
+    (regexp_count / split), no Python."""
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("n_bpe_pretokens"),
+        F.size(tokens_expr(text_col)).alias("n_ws_tokens"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate-line ratio — the classic boilerplate/repetition quality
+    signal for web text. Integer basis points, exact."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(ln) > 0
+    )
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.floor(n_dup * F.lit(10000) / F.greatest(n_lines, F.lit(1))).alias("dup_line_bp"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (hex md5 prefix) — the cheap exact-dup key."""
     return docs.select(
