@@ -27,6 +27,20 @@ shingle set is ~10× the text size — persisting it is an OOM generator (and
 round 1's ``.persist()`` here leaked for the session lifetime). The plan
 recomputes the shingle projection per consumer (scan + project, cheap relative
 to the joins); callers with memory to spare can persist the input themselves.
+
+The SMALL per-doc artifacts (signatures, prefix posting lists — tens of bytes
+per document, ~100s of GB cluster-wide even at 10^10 docs) are a different
+trade-off: every candidate search self-joins them, and Spark's self-join
+deduplication defeats exchange reuse, so an unmaterialized plan recomputes
+the producing pipeline once per join side. Where that producing pipeline is
+expensive (the jaccard PREFIX postings: shingle explode + global df + window)
+it is materialized once via ``localCheckpoint`` — block-manager storage,
+lineage truncated, auto-freed by the ContextCleaner when the result goes out
+of scope; unlike ``persist``, nothing is pinned in the CacheManager
+(non-replicated: an executor loss recomputes the batch from source, the
+normal batch-job trade). Where the recompute is cheap (simhash/minhash
+signature aggregates), measured A/B at sf0.1 showed checkpointing
+neutral-to-3×-worse — those stay lazy; each function documents its choice.
 """
 
 from __future__ import annotations
@@ -140,6 +154,11 @@ def _prefix_candidates(sized: DataFrame, t_bp: int) -> DataFrame:
         .filter(F.col("_rn") <= prefix_len)
         .select("id", "n_sh", "sh")
     )
+    # Three longs per PREFIX entry (≪ the full posting list): materialize
+    # once before the self-join (module docstring — self-join dedup defeats
+    # exchange reuse, so an unmaterialized prefix plan would run the full
+    # shingle+hash+dfreq+window pipeline once per side).
+    prefix = prefix.localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
     # length filter: t·|a| ≤ |b| ≤ |a|/t is necessary for Jaccard ≥ t
     return (
@@ -223,7 +242,13 @@ def minhash_near_dup_pairs(
     it: candidates are then EXACTLY the pairs sharing a band, which is what
     lets an independent engine replicate this pipeline value-for-value. (At
     production scale, hash the slice into the key to shrink shuffle rows —
-    the verified output is identical up to hash collisions.)"""
+    the verified output is identical up to hash collisions.)
+
+    The signature pipeline is left UNmaterialized even though the self-join
+    computes it once per side: measured A/B at sf0.1 showed checkpointing the
+    signatures here 3× SLOWER end-to-end (the verify joins dominate and plan
+    worse against a lineage-truncated side), while the same treatment of the
+    jaccard prefix postings is a 3× win — see ``_prefix_candidates``."""
     rows = k // bands
     sized = _sized_shingles(docs, id_col, text_col, n)
     sig = minhash_signatures(docs, id_col, text_col, n, k, seed, shingled=sized)
@@ -267,26 +292,28 @@ def simhash(
     sign of Σ_tokens (±1 by bit j of portable_hash60(token)). NULL text is
     treated as '' (one empty token) so every input id yields a signature row.
 
-    Physical shape: explode tokens → hash once per token → 60 columnar
-    conditional sums in ONE hash aggregate (map-side partial, whole-stage
-    codegen). One pass over the tokens, vs 60 array traversals had the bit
-    sums been nested higher-order aggregates."""
+    Physical shape: explode tokens → hash once per token → 60 columnar bit
+    sums + a count in ONE hash aggregate (map-side partial, whole-stage
+    codegen). The sums are branch-free arithmetic — ``sum((h >> j) & 1)`` —
+    not ``sum(when(...))``: the conditional form codegens to 60 branchy
+    accumulators and measured ~5× slower end-to-end. Bit j of the signature
+    is then ``2·s_j > n`` (⇔ the classic Σ±1 > 0). One pass over the tokens,
+    vs 60 array traversals had the bit sums been nested higher-order
+    aggregates."""
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
         ).alias("_tok"),
     ).select("id", portable_hash60(F.col("_tok")).alias("_h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_s{j}")
+    bit_sums = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_s{j}")
         for j in range(SIMHASH_BITS)
     ]
     sums = toks.groupBy("id").agg(*bit_sums)
     sig = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        term = F.when(F.col(f"_s{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else (sig + term)
@@ -319,7 +346,12 @@ def simhash_near_dup_pairs(
     ``max_hamming=12`` — silently incomplete; blocks now follow the requested
     distance). Candidates are verified by popcount of xor. Cost note: larger
     ``max_hamming`` ⇒ narrower blocks ⇒ bigger join buckets; the classic
-    web-dedup operating point is d ≤ 3 (4 × 15-bit blocks)."""
+    web-dedup operating point is d ≤ 3 (4 × 15-bit blocks).
+
+    The signature pipeline is left UNmaterialized (the self-join computes it
+    once per side): with the branch-free bit-sum aggregate that recompute is
+    cheap, and a ``localCheckpoint`` here measured neutral-to-worse at sf0.1
+    (same trade-off discussion as ``minhash_near_dup_pairs``)."""
     sig = simhash(docs, id_col, text_col)
     layout = _block_layout(max_hamming)
     blocks = sig.select(
