@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from gobblin_spark.dedup import lww_latest, lww_latest_salted, lww_latest_window
 from gobblin_spark.operators.dedup_families import (
+    contamination_check,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -42,9 +43,11 @@ from gobblin_spark.operators.similarity import (
 )
 from gobblin_spark.operators.textstats import (
     BPE_PATTERN,
+    PII_PATTERNS,
     bpe_token_stats,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_score,
     repetition_stats,
     token_stats,
@@ -445,6 +448,31 @@ def q_docs_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII redaction over documents. The synthetic corpus contains no natural
+    PII, so the query deterministically plants some first (email per doc, an
+    ip per doc, a phone for doc_id%3==0) — the oracle replicates the planting
+    AND the scrub, so the match verifies real (non-vacuous) redactions."""
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com from 10.20."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(".7"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" tel +555-123-4567")).otherwise(F.lit("")),
+    )
+    return pii_scrub(docs.select("doc_id", planted.alias("text")))
+
+
+def q_docs_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-doc fraction of 13-gram shingles found
+    in the 'benchmark' slice (doc_id % 50 == 0 plays the eval set). The
+    benchmark shingle set is broadcast; the corpus is never shuffled."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_check(docs, bench, n=13)
+
+
 def q_docs_ngram_jaccard(spark, sf_dir):
     # n=20 char shingles: selective enough that prefix filtering keeps the
     # candidate join linear-ish even on tiny-vocabulary corpora
@@ -521,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_repetition": q_docs_repetition,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_contamination": q_docs_contamination,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_neardup": q_docs_minhash_neardup,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -961,6 +991,53 @@ def oracle_sql() -> dict[str, str]:
                    ((len(lines) - len(list_distinct(lines))) * 10000)
                      // greatest(len(lines), 1) AS dup_line_bp
             FROM l
+        """,
+        "docs_contamination": """
+            WITH sh13 AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 12, 1) + 1),
+                       i -> substr(text, CAST(i AS INT), 13))) AS shingles
+              FROM documents
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS sh FROM sh13 WHERE doc_id % 50 = 0
+            ), doc_sh AS (
+              SELECT doc_id, unnest(shingles) AS sh FROM sh13
+            ), hits AS (
+              SELECT d.doc_id, count(*) AS n_hit
+              FROM doc_sh d JOIN bench b USING (sh) GROUP BY d.doc_id
+            )
+            SELECT s.doc_id, len(s.shingles) AS n_shingles,
+                   coalesce(h.n_hit, 0) AS n_contaminated,
+                   (coalesce(h.n_hit, 0) * 10000) // greatest(len(s.shingles), 1)
+                     AS contamination_bp
+            FROM sh13 s LEFT JOIN hits h USING (doc_id)
+        """,
+        "docs_pii_scrub": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.20.'
+                          || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' tel +555-123-4567' ELSE '' END AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+                     regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g') AS t
+              FROM planted
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                     regexp_replace(t, '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) AS n_phone,
+                   md5(regexp_replace(t, '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'))
+                     AS scrubbed_md5
+            FROM s2
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
         "docs_minhash_neardup": _minhash_sql(),

@@ -384,3 +384,52 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction (basis points) of
+    its distinct char n-grams that occur anywhere in the benchmark corpus —
+    the standard eval-leakage gate before training-set publication.
+
+    Physical shape for 100 TB: the benchmark side is aggregated to its
+    DISTINCT shingle set and broadcast (eval benchmarks are MBs; the corpus
+    is the big side), so the probe is a broadcast LEFT SEMI join inside the
+    corpus scan — no shuffle of the corpus. If a benchmark ever outgrows the
+    broadcast threshold, AQE falls back to a shuffled semi-join on the same
+    plan. The contaminated-count aggregate is map-side partial.
+
+    Joins on the shingle STRING (not a hash) so an independent engine
+    replicates exactly; swap in xxhash64 keys at production scale to shrink
+    the broadcast (a collision can only overcount by one shingle)."""
+    doc_sh = _sized_shingles(docs, id_col, text_col, n).select(
+        "id", "n_sh", F.explode("shingles").alias("sh")
+    )
+    # id slot reuses the text column — only the shingle arrays are consumed
+    bench_sh = (
+        with_shingles(benchmark, bench_text_col, bench_text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+    counts = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = _sized_shingles(docs, id_col, text_col, n).select("id", "n_sh")
+    return (
+        base.join(counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_sh").alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_contaminated"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                * F.lit(10000)
+                / F.greatest(F.col("n_sh"), F.lit(1))
+            ).alias("contamination_bp"),
+        )
+    )

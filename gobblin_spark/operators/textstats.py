@@ -109,6 +109,35 @@ def repetition_stats(
     )
 
 
+# PII patterns restricted (like BPE_PATTERN) to the Java-regex ∩ RE2 subset:
+# char classes, bounded repetition, \b — identical leftmost-first matching in
+# both engines, so counts AND replaced bytes reproduce exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{3}-\d{3}-\d{4}",
+}
+PII_ORDER = ["email", "ipv4", "phone"]  # scrub order (applied sequentially)
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass. Counts each PII
+    class, then replaces them with typed placeholders IN ORDER (email → ipv4
+    → phone), each pattern matching the already-scrubbed text so classes
+    can't double-fire on the same span. Whole-stage codegen: regexp_count +
+    chained regexp_replace, no Python. Each class is COUNTED on the same text
+    it is scrubbed from (the output of the previous class's replace), so the
+    counts are exactly the number of placeholders inserted. Returns the
+    scrubbed text's md5 (not the text) so a verifying engine checks
+    byte-identity cheaply."""
+    counts = []
+    scrubbed = F.col(text_col)
+    for k in PII_ORDER:
+        counts.append(F.regexp_count(scrubbed, F.lit(PII_PATTERNS[k])).alias(f"n_{k}"))
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"<{k.upper()}>")
+    return docs.select(F.col(id_col), *counts, F.md5(scrubbed).alias("scrubbed_md5"))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (hex md5 prefix) — the cheap exact-dup key."""
     return docs.select(

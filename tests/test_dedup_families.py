@@ -104,3 +104,56 @@ def test_portable_hash60_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [v]
         ).fetchone()[0]
         assert got[v] == exp, v
+
+
+def test_contamination_check_exact_and_clean(spark):
+    from gobblin_spark.operators.dedup_families import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # == bench doc
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  # disjoint from bench
+            (4, "a quick brown fox sat still"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: r.asDict() for r in contamination_check(docs, bench, n=5).collect()
+    }
+    assert len(out) == 4  # every input doc gets a row, hits or not
+    assert out[2]["contamination_bp"] == 10000  # identical to a bench doc
+    assert out[3]["n_contaminated"] == 0 and out[3]["contamination_bp"] == 0
+    assert 0 < out[4]["n_contaminated"] < out[4]["n_shingles"]
+    for r in out.values():
+        assert r["contamination_bp"] == r["n_contaminated"] * 10000 // r["n_shingles"]
+
+
+def test_pii_scrub_counts_and_bytes(spark):
+    from gobblin_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d-e@f.org now"),
+            (2, "host 192.168.0.1 vs not.an.ip.here"),
+            (3, "call +123-456-7890"),
+            (4, "a1.2.3.4@x.com then 1.2.3.4"),  # email absorbs the dotted run
+            (5, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 1)
+    assert out[3]["n_phone"] == 1
+    # sequential scrub: the email (incl. its dotted local part) is replaced
+    # FIRST, so only the later bare dotted quad counts as an ip
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (1, 1)
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (0, 0, 0)
+    import hashlib
+
+    assert out[5]["scrubbed_md5"] == hashlib.md5(b"clean text only").hexdigest()
+    assert (
+        out[3]["scrubbed_md5"] == hashlib.md5(b"call <PHONE>").hexdigest()
+    )
