@@ -129,3 +129,39 @@ def test_partition_pruning_on_hive_partition_column(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "log_partition" in seg
+
+
+def test_contamination_probe_is_broadcast_semi_join(spark):
+    """The benchmark side must broadcast (eval sets are small by definition)
+    and probe as a LEFT SEMI join — the corpus is never shuffled for the
+    probe. Guarded in the plan, not just claimed in the docstring."""
+    from gobblin_spark.operators.dedup_families import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = _explain(contamination_check(docs, bench, n=5), "simple")
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, plan
+    assert all("BroadcastHashJoin" in ln for ln in semi_lines), plan
+
+
+def test_text_ops_are_pure_codegen(spark):
+    """bpe/repetition/pii/fingerprint plans contain no Python evaluation —
+    the whole text-stats family stays JVM-side (input_hint: no per-row
+    Python)."""
+    from gobblin_spark.operators.textstats import (
+        bpe_token_stats,
+        fingerprint,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text a@b.co 1.2.3.4\nline\nline")], "doc_id long, text string"
+    )
+    for op in (bpe_token_stats, repetition_stats, pii_scrub, fingerprint):
+        plan = _explain(op(docs), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, op.__name__
