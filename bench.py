@@ -16,6 +16,7 @@ BENCH_WORKDIR (override benchmark state dir; default /dev/shm if present).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -118,9 +119,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        # isolate queries: some persist intermediates (e.g. shingle bases);
-        # letting them accumulate distorts later queries' memory budget
+        # isolate queries: drop caches AND collect Python refs promptly —
+        # localCheckpoint blocks are freed by the ContextCleaner only after
+        # the Python DataFrame is garbage-collected, and letting them pile up
+        # distorts later queries' memory budget
         spark.catalog.clearCache()
+        gc.collect()
     return timings
 
 
