@@ -708,32 +708,78 @@ def _duck_bucket_expr(vexpr: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4) -> str:
-    """DuckDB replication of ivf_topk: first-n_cells centroids, round-4
-    cosine assignment (ties by cell id), nprobe probes, round-4 final rank."""
+def _ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4, n_iters: int = 2) -> str:
+    """DuckDB replication of ivf_topk incl. the Lloyd-trained quantizer
+    (similarity.train_centroids): integer-quantized vectors (floor(v·2^20)),
+    n_iters unrolled assign→mean rounds on exact integer arithmetic viewed
+    through doubles, empty cells keep their previous centroid; then round-4
+    probe/rank exactly as the Spark plan."""
+    scale = 1 << 20
+    iters = []
+    for i in range(n_iters):
+        prev, cur = f"c{i}", f"c{i + 1}"
+        iters.append(f"""
+a{i} AS (
+  SELECT qv, cell FROM (
+    SELECT x.qv, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(x.qv AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 4)
+               DESC, c.cell) AS rn
+    FROM q x CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cell, t.i AS pos,
+         CAST(floor(CAST(sum(qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cmp
+  FROM a{i}, LATERAL unnest(range(1, len(qv) + 1)) AS t(i)
+  GROUP BY cell, t.i
+),
+n{i} AS (SELECT cell, list(cmp ORDER BY pos) AS cv FROM m{i} GROUP BY cell),
+{cur} AS (
+  SELECT p.cell, coalesce(n.cv, p.cv) AS cv FROM {prev} p LEFT JOIN n{i} n USING (cell)
+)""")
+    final = f"c{n_iters}"
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT {n_cells}),
+q AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+      FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {n_cells})
+),{",".join(iters)},
+cents AS (
+  SELECT cell, cv,
+         sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))) AS cnrm
+  FROM {final}
+),
+n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, q.qv,
+             sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) AS qnrm
+      FROM e JOIN q USING (vec_id)),
 asg AS (
   SELECT vec_id, v, nrm, cell FROM (
     SELECT x.vec_id, x.v, x.nrm, c.cell,
            row_number() OVER (PARTITION BY x.vec_id
-             ORDER BY round(list_dot_product(x.v, c.cv)/(x.nrm*c.cnrm), 4) DESC, c.cell) AS rn
+             ORDER BY round(list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               / (x.qnrm * c.cnrm), 4) DESC, c.cell) AS rn
     FROM n x CROSS JOIN cents c
   ) WHERE rn = 1
 ),
 probes AS (
-  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell FROM (
+  SELECT vec_id AS query_id, v AS qryv, nrm AS qn, cell FROM (
     SELECT x.vec_id, x.v, x.nrm, c.cell,
            row_number() OVER (PARTITION BY x.vec_id
-             ORDER BY round(list_dot_product(x.v, c.cv)/(x.nrm*c.cnrm), 4) DESC, c.cell) AS rn
+             ORDER BY round(list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               / (x.qnrm * c.cnrm), 4) DESC, c.cell) AS rn
     FROM n x CROSS JOIN cents c WHERE x.vec_id < 10
   ) WHERE rn <= {nprobe}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         round(list_dot_product(p.qv, a.v)/(p.qn*a.nrm), 4) AS sim
+         round(list_dot_product(p.qryv, a.v)/(p.qn*a.nrm), 4) AS sim
   FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, rank FROM (

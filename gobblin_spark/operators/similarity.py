@@ -14,9 +14,10 @@
                          prefilter + exact verify. Work scales with bucket
                          sizes, not n². Recall = 1-(1-p^r)^T with
                          p = 1 - θ/π per hyperplane.
-- ``ivf_topk``           IVF-style scale path: deterministic coarse quantizer
-                         (first C corpus vectors as centroids), queries probe
-                         the nearest ``nprobe`` cells only.
+- ``ivf_topk``           IVF-style scale path: Lloyd-trained deterministic
+                         coarse quantizer (``train_centroids`` — exact
+                         integer arithmetic, engine-reproducible), queries
+                         probe the nearest ``nprobe`` cells only.
 - ``lsh_bucket_topk``    single-table hyperplane LSH top-k.
 
 Determinism across engines: hyperplane signs are computed over INTEGER-
@@ -334,23 +335,111 @@ def lsh_neardup_pairs(
     return _verify_pairs(cand, emb, id_col, vec_col, min_sim_x10k)
 
 
-def assign_cells(
-    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+def _quantize(vec):
+    """Integer-quantize an array<float>: floor(v·2²⁰) per component, exact in
+    IEEE double. All downstream sums/dots over these stay < 2⁵³, so double
+    arithmetic on them is EXACT — order-independent, engine-independent."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"))
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse quantizer: centroids = the n_cells lowest-id
-    vectors; every vector assigned to its max-cosine centroid (cosine rounded
-    to 4 digits, ties broken by cell id — reproducible in any engine)."""
-    cents = emb.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).alias("centroid"),
-        _norm(F.col(vec_col)).alias("cnrm"),
+    """Deterministic Lloyd (k-means) refinement of the coarse quantizer, on
+    integer-quantized vectors. Returns (cell, cv array<long>, cnrm double).
+
+    Seeding is the n_cells lowest-id vectors (relabelled 0..n_cells-1) — the
+    round-1 'toy quantizer' — but each Lloyd round reassigns every vector to
+    its max-cosine centroid and recomputes centroids as the component-wise
+    integer mean, so the final cells track the data distribution. Everything
+    is exact integer arithmetic viewed through doubles (components ≤ 2²⁰,
+    per-cell sums ≤ 2⁵³): assignment cosines, means and norms come out
+    bit-identical in any engine, which is what lets the DuckDB oracle
+    replicate the full training loop value-for-value. Cells that lose all
+    members keep their previous centroid.
+
+    Physical shape per round: one broadcast of C centroids into the corpus
+    scan (assignment, no shuffle of the corpus) + one (cell, pos) aggregate —
+    map-side partial, C·dim groups. At 10^10 vectors each round is a scan +
+    a tiny aggregate; n_iters is a small constant (quality plateaus fast for
+    a coarse quantizer whose only job is cell routing)."""
+    from pyspark.sql import Window
+
+    q = emb.select(F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qv"))
+    w0 = Window.orderBy("id")
+    cents = (
+        q.orderBy("id")
+        .limit(n_cells)
+        .select((F.row_number().over(w0) - 1).alias("cell"), F.col("qv").alias("cv"))
     )
+    for _ in range(max(0, n_iters)):
+        cn = cents.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
+        sim = F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * F.col("cnrm")), 4
+        )
+        wv = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cell"))
+        asg = (
+            q.crossJoin(F.broadcast(cn))
+            .select("id", "qv", "cell", sim.alias("csim"))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("qv", "cell")
+        )
+        comp = (
+            asg.select("cell", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        newc = (
+            comp.select(
+                "cell",
+                "pos",
+                # floor of the exact double quotient — both engines compute
+                # the identical IEEE division on exact integer inputs
+                F.floor(F.col("s") / F.col("c")).cast("long").alias("cmp"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cmp"))),
+                    lambda s: s["cmp"],
+                ).alias("cv")
+            )
+        )
+        cents = (
+            cents.select("cell", F.col("cv").alias("_prev"))
+            .join(newc, "cell", "left")
+            .select("cell", F.coalesce("cv", "_prev").alias("cv"))
+        )
+    return cents.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
+
+
+def assign_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its max-cosine trained centroid (cosine of the
+    integer-quantized vector against the integer centroid, rounded to 4
+    digits, ties broken by cell id — reproducible in any engine). Pass
+    ``cents`` (from ``train_centroids``) to reuse an already-trained
+    quantizer."""
+    if cents is None:
+        cents = train_centroids(emb, n_cells, n_iters, id_col, vec_col)
     base = emb.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        _quantize(F.col(vec_col)).alias("_qv"),
     )
-    sim = F.round(
-        _dot(F.col(vec_col), F.col("centroid")) / (F.col("_nrm") * F.col("cnrm")), 4
-    )
+    sim = F.round(_dot(F.col("_qv"), F.col("cv")) / (_norm(F.col("_qv")) * F.col("cnrm")), 4)
     scored = base.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col), F.col("_nrm"), F.col("cell"), sim.alias("csim")
     )
@@ -374,21 +463,21 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` nearest cells per
-    query. Recall < 1 by design; the exact baseline is cosine_topk. All
-    norms are computed once per vector; every comparison is on the rounded
-    cosine (deterministic cross-engine)."""
-    cells = assign_cells(emb, n_cells, id_col, vec_col)
-    cents = emb.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).alias("centroid"),
-        _norm(F.col(vec_col)).alias("cnrm"),
-    )
+    query. Recall < 1 by design; the exact baseline is cosine_topk. The
+    coarse quantizer is Lloyd-trained (``train_centroids``) — trained ONCE
+    and shared by the index assignment and the query probes. All norms are
+    computed once per vector; every comparison is on the rounded cosine
+    (deterministic cross-engine)."""
+    cents = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cents = cents.localCheckpoint(eager=True)  # tiny; consumed by 2 branches
+    cells = assign_cells(emb, n_cells, id_col, vec_col, cents=cents)
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
+        _quantize(F.col(vec_col)).alias("qq"),
     )
-    qsim = F.round(_dot(F.col("qv"), F.col("centroid")) / (F.col("qn") * F.col("cnrm")), 4)
+    qsim = F.round(_dot(F.col("qq"), F.col("cv")) / (_norm(F.col("qq")) * F.col("cnrm")), 4)
     from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))

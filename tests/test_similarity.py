@@ -75,3 +75,30 @@ def test_random_seed_determinism(spark):
     a = sorted(map(tuple, lsh_neardup_pairs(emb, 9000, dim=DIM).collect()))
     b = sorted(map(tuple, lsh_neardup_pairs(emb, 9000, dim=DIM).collect()))
     assert a == b
+
+
+def test_ivf_trained_quantizer_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.operators.similarity import cosine_topk, ivf_topk, train_centroids
+
+    emb, planted, _ = _corpus(spark, n=60, n_dups=12)
+    # training is fully deterministic: identical centroids on repeat runs
+    c1 = sorted((r["cell"], tuple(r["cv"])) for r in train_centroids(emb, 8).collect())
+    c2 = sorted((r["cell"], tuple(r["cv"])) for r in train_centroids(emb, 8).collect())
+    assert c1 == c2
+    # planted near-dup (sim>=0.99) must be the exact top-1 for its query;
+    # the trained coarse quantizer routes both to probed cells: IVF top-1
+    # recall over the planted queries stays high (it's approximate — allow
+    # a small miss budget, but a toy/broken quantizer scores near 0.5)
+    queries = emb.filter(F.col("vec_id") >= 10_000)
+    exact1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=1).collect()
+    }
+    ivf1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=1, n_cells=8, nprobe=3).collect()
+    }
+    hits = sum(1 for q, n in exact1.items() if ivf1.get(q) == n)
+    assert hits >= int(0.8 * len(exact1)), (hits, len(exact1))
