@@ -161,3 +161,68 @@ def drain_evolving(
             ).schema
             current = merge_schemas(current, actual) if current is not None else actual
     raise RuntimeError(f"schema still evolving after {max_restarts} restarts")
+
+
+def stateful_lww_updates(
+    stream_df,
+    key_col: str = "url",
+    version_cols: tuple[str, str] = ("warc_ts", "log_offset"),
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-key last-writer-wins CHANGE FEED. The group state holds the highest
+    version ever seen for the key; a micro-batch emits at most one row per
+    key — the batch's max-version row — and only when it is strictly newer
+    than the state. Late/duplicate/out-of-order deliveries emit nothing.
+
+    This is the record-level streaming analog of the engine's batch LWW
+    (dedup.lww_latest) — the reference's ack-then-advance per-record flow
+    (FineGrainedWatermarkTracker.java:181-200) expressed as Spark-managed
+    keyed state instead of an in-memory tracker. Downstream consumers get a
+    deduplicated "newer than anything before" stream without waiting for a
+    table MERGE.
+
+    Scale notes: state is (2 longs)/key in the state store (RocksDB-backed on
+    a real cluster — set ``spark.sql.streaming.stateStore.providerClass``);
+    the operator shuffles each micro-batch once by key, the same exchange any
+    streaming dedup pays. No timeout is configured — CDC keys live forever by
+    definition; bound the keyspace upstream (retention) if that ever matters.
+
+    Versions compare lexicographically on ``version_cols`` (timestamp stored
+    as epoch-micros int64 in state)."""
+    import pandas as pd  # noqa: F401  (module-level import contract for UDFs)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ts_col, off_col = version_cols
+    out_schema = stream_df.schema
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("off", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        best = None  # (ts_us, off, one-row DataFrame with original dtypes)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            srt = pdf.sort_values([ts_col, off_col], kind="mergesort")
+            row = srt.iloc[[-1]]
+            ts_us = int(row[ts_col].iloc[0].value // 1000)  # pandas ns → µs
+            off = int(row[off_col].iloc[0])
+            if best is None or (ts_us, off) > (best[0], best[1]):
+                best = (ts_us, off, row)
+        if best is None:
+            return
+        cur = state.get if state.exists else None
+        if cur is None or (best[0], best[1]) > (cur[0], cur[1]):
+            state.update((best[0], best[1]))
+            yield best[2]
+        return
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
