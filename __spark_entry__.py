@@ -51,6 +51,7 @@ from gobblin_spark.operators.textstats import (
     quality_score,
     repetition_stats,
     token_stats,
+    winnow_fingerprints,
 )
 
 DELETE_TYPE = "error"  # event_type that plays the changelog 'D' op
@@ -448,6 +449,12 @@ def q_docs_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_docs_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints, k=8 w=4 — set verified via
+    (count, xor-fold, min) per document."""
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
 def q_docs_pii_scrub(spark, sf_dir):
     """PII redaction over documents. The synthetic corpus contains no natural
     PII, so the query deterministically plants some first (email per doc, an
@@ -550,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_repetition": q_docs_repetition,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_winnow": q_docs_winnow,
         "docs_contamination": q_docs_contamination,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_neardup": q_docs_minhash_neardup,
@@ -1058,6 +1066,28 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(h.n_hit, 0) * 10000) // greatest(len(s.shingles), 1)
                      AS contamination_bp
             FROM sh13 s LEFT JOIN hits h USING (doc_id)
+        """,
+        "docs_winnow": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(length(text) - 7, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15))::BIGINT
+                     ) AS hs
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h
+            ), x AS (
+              SELECT doc_id, bit_xor(fp) AS fp_xor
+              FROM (SELECT doc_id, unnest(fps) AS fp FROM m) GROUP BY doc_id
+            )
+            SELECT m.doc_id, len(m.fps) AS n_fp, x.fp_xor AS fp_xor,
+                   list_min(m.fps) AS fp_min
+            FROM m JOIN x USING (doc_id)
         """,
         "docs_pii_scrub": f"""
             WITH planted AS (

@@ -157,3 +157,50 @@ def test_pii_scrub_counts_and_bytes(spark):
     assert (
         out[3]["scrubbed_md5"] == hashlib.md5(b"call <PHONE>").hexdigest()
     )
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a substring of length >= k+w-1
+    share at least one selected fingerprint; disjoint docs (different
+    alphabets) share none."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.operators.textstats import winnow_fingerprints
+
+    common = "the-shared-run-of-text-long-enough-to-guarantee-overlap"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa" + common + "bbbb"),
+            (2, "cccccccc" + common + "dddd"),
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+            (4, "short"),  # len < k: single clamped gram, still fingerprinted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in winnow_fingerprints(docs, k=8, w=4).collect()}
+    assert len(out) == 4 and all(r["n_fp"] >= 1 for r in out.values())
+
+    # recompute the full fingerprint SETS via the same operator at w=1
+    # (w=1 keeps every k-gram hash) to check set-level overlap claims
+    from gobblin_spark.operators.dedup_families import portable_hash60
+
+    def fps(text, k=8, w=4):
+        hs = []
+        import hashlib
+        n = max(len(text) - k + 1, 1)
+        for i in range(n):
+            g = text[i : i + k]
+            hs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    s1, s2, s3 = fps("aaaa" + common + "bbbb"), fps("cccccccc" + common + "dddd"), fps("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    assert s1 & s2, "shared substring must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)
+    # and the operator's (count, xor, min) triple matches the python model
+    import functools, operator
+    for did, s in ((1, s1), (2, s2), (3, s3)):
+        assert out[did]["n_fp"] == len(s)
+        assert out[did]["fp_xor"] == functools.reduce(operator.xor, s)
+        assert out[did]["fp_min"] == min(s)
