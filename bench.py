@@ -73,7 +73,7 @@ def bench_cdc_replay(
     # Best-of-N over identical replays (fresh table each time, one shared
     # changelog): this VM is a shared host with multi-minute windows of 3-5x
     # steal-induced slowdown (membw probe + load-avg-with-no-local-process
-    # evidence); min-of-2 keeps a one-shot noise spike out of the headline
+    # evidence); min-of-N (3 for the headline) keeps a noise spike out of the headline
     # without hiding sustained regressions.
     runs = []
     for i in range(max(1, repeats)):
@@ -165,13 +165,13 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
-        replay = bench_cdc_replay(spark, n_events, workdir)
+        replay = bench_cdc_replay(spark, n_events, workdir, repeats=3)
         replay["warmup_sec"] = warm_sec
         out = {
             "metric": (
                 "wall-clock sec of binlog-replay → snapshot-table upsert apply loop "
                 f"({n_events} synthetic change events, {N_LOG_PARTITIONS} log partitions, "
-                "2 fenced batches, session pre-warmed, best of 2 identical replays "
+                "2 fenced batches, session pre-warmed, best of 3 identical replays "
                 "(shared-host noise guard; both in detail.replay_runs_sec): LWW dedup "
                 "+ vectorized text extraction + delta MERGE commits (merge-on-read); "
                 "post-loop compaction timed separately in detail.compact_sec)"
