@@ -109,11 +109,25 @@ def _sized_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> Data
 def _exact_jaccard(cand: DataFrame, sized: DataFrame) -> DataFrame:
     """Verify candidate pairs (a_id, b_id) exactly on the full shingle sets:
     common = |a ∩ b| via array_intersect, Jaccard in basis points (exact
-    integer arithmetic)."""
-    av = sized.select(
+    integer arithmetic).
+
+    The candidate list is materialized (``localCheckpoint`` — it is the
+    SMALL artifact by construction) and the shingle base is pruned to the
+    docs that actually appear in a candidate, via a broadcast semi-join that
+    reaches the scan: without this the verify stage re-shingles the whole
+    corpus once per join side, the dominant cost once candidate generation
+    is cheap."""
+    cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("a_id").alias("id"))
+        .union(cand.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    pruned = sized.join(F.broadcast(ids), "id", "left_semi")
+    av = pruned.select(
         F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"), F.col("n_sh").alias("na")
     )
-    bv = sized.select(
+    bv = pruned.select(
         F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"), F.col("n_sh").alias("nb")
     )
     verified = cand.join(av, "a_id").join(bv, "b_id")
