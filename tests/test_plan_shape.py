@@ -165,3 +165,25 @@ def test_text_ops_are_pure_codegen(spark):
     for op in (bpe_token_stats, repetition_stats, pii_scrub, fingerprint):
         plan = _explain(op(docs), "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, op.__name__
+
+
+def test_jaccard_checkpoint_bounds_scan_count(spark, tmp_path):
+    """The prefix postings are checkpointed before their self-join and the
+    verify side is pruned to candidate docs: the final plan reads the source
+    exactly twice (the two verify sides) — candidate generation reads the
+    checkpoint, not a third/fourth scan of the corpus."""
+    import os as _os
+
+    from gobblin_spark.operators.dedup_families import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, ("abcdefghij" * 8)[: 40 + (i % 7)] + str(i % 5)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = _os.path.join(str(tmp_path), "docs")
+    docs.write.parquet(path)
+    pairs = ngram_jaccard_pairs(spark.read.parquet(path), n=5, min_jaccard_bp=6000)
+    pairs.count()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "Scan ExistingRDD" in plan  # the checkpointed prefix feed
