@@ -158,10 +158,29 @@ def decode_envelope(df, registry: dict[int, list[tuple[str, object]]], bin_col="
             return spark_type(next(x for x in t if x != "null"))
         return _AVRO_TO_SPARK[t]
 
+    # Registry versions may WIDEN a field (int in v1, long in v2); the union
+    # output schema must take the widest type or values decoded under the
+    # wider writer schema get forced into the narrower Spark type (overflow /
+    # Arrow cast error). Avro's promotion chain: int → long → float → double.
+    _PROMOTE = ["int", "long", "float", "double"]
+
+    def _base(t):
+        return next(x for x in t if x != "null") if isinstance(t, list) else t
+
+    def _widen(a, b):
+        ba, bb = _base(a), _base(b)
+        if ba == bb:
+            return a
+        if ba in _PROMOTE and bb in _PROMOTE:
+            return _PROMOTE[max(_PROMOTE.index(ba), _PROMOTE.index(bb))]
+        raise ValueError(
+            f"irreconcilable registry types for a shared field: {ba} vs {bb}"
+        )
+
     union_fields: dict[str, object] = {}
     for fields in registry.values():
         for n, t in fields:
-            union_fields.setdefault(n, t)
+            union_fields[n] = _widen(union_fields[n], t) if n in union_fields else t
     passthrough = [f for f in df.schema.fields if f.name != bin_col]
     out_schema = T.StructType(
         passthrough

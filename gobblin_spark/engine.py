@@ -148,12 +148,35 @@ class CdcEngine:
         intervals: dict[int, list[tuple[int, int]]] = {}
         for p, v in pending_prop.items():
             intervals[int(p)] = [(int(a), int(b)) for a, b in v]
+        # Redelivery guard: offsets already covered by ``pending_ranges`` were
+        # applied AND counted by an earlier commit (they sit above the
+        # committed watermark only because the gap below them hasn't healed).
+        # Subtract them from this batch's runs so a replayed micro-batch
+        # applies/counts only NEWLY-covered offsets — otherwise
+        # partition_counts double-counts and the completeness gate's
+        # applied==expected can never be satisfied for that partition again.
         ranges = []
         for r in runs:
             p, lo, hi = int(r["log_partition"]), int(r["lo"]), int(r["hi"])
+            segs = [(lo, hi)]
+            for plo, phi in intervals.get(p, []):
+                nxt: list[tuple[int, int]] = []
+                for slo, shi in segs:
+                    if phi < slo or plo > shi:
+                        nxt.append((slo, shi))
+                        continue
+                    if slo < plo:
+                        nxt.append((slo, plo - 1))
+                    if shi > phi:
+                        nxt.append((phi + 1, shi))
+                segs = nxt
+            for slo, shi in segs:
+                ranges.append(OffsetRange(p, slo - 1, shi))
             intervals.setdefault(p, []).append((lo, hi))
-            ranges.append(OffsetRange(p, lo - 1, hi))
         ranges.sort(key=lambda r: (r.partition, r.low))
+        if not ranges:
+            # every offset in the batch was already applied by a prior commit
+            return {"batch_id": batch_id, "skipped": True}
 
         wm_caps: dict[int, int] = {}
         new_pending: dict[str, list[list[int]]] = {}

@@ -252,11 +252,13 @@ def minhash_near_dup_pairs(
     rows). Verification computes Jaccard ONLY for the LSH candidates — it
     never runs the full all-pairs search.
 
-    The join key is the raw signature slice (array equality), not a hash of
-    it: candidates are then EXACTLY the pairs sharing a band, which is what
-    lets an independent engine replicate this pipeline value-for-value. (At
-    production scale, hash the slice into the key to shrink shuffle rows —
-    the verified output is identical up to hash collisions.)
+    The join key is ONE long: ``portable_hash60`` of the band index + the
+    signature slice (decimal-comma serialization) — the production shape
+    (shuffle rows carry 8 bytes instead of an r-long array + band column).
+    A cross-band hash collision can only ADD a candidate, and candidates are
+    exactly verified, so the output stays the set {pairs sharing a band key,
+    jaccard ≥ t}; the DuckDB oracle replicates the identical hash, so parity
+    is value-for-value, collisions included.
 
     The signature pipeline is left UNmaterialized even though the self-join
     computes it once per side: measured A/B at sf0.1 showed checkpointing the
@@ -266,28 +268,29 @@ def minhash_near_dup_pairs(
     rows = k // bands
     sized = _sized_shingles(docs, id_col, text_col, n)
     sig = minhash_signatures(docs, id_col, text_col, n, k, seed, shingled=sized)
-    banded = sig.select(
+    keyed = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("signature", b * rows + 1, rows).alias("slc"),
+                    portable_hash60(
+                        F.concat_ws(
+                            ",",
+                            F.lit(b),
+                            *[
+                                F.element_at("signature", b * rows + i + 1)
+                                for i in range(rows)
+                            ],
+                        )
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.slc")
-    a, b = banded.alias("a"), banded.alias("b")
+        ).alias("bk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slc") == F.col("b.slc"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )

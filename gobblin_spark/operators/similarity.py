@@ -342,6 +342,85 @@ def _quantize(vec):
     return F.transform(vec, lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"))
 
 
+def _collect_cent_rows(cents: DataFrame) -> list[tuple[int, list[int], float]]:
+    """Materialize a trained quantizer to the driver: n_cells rows — strictly
+    metadata-sized (the coarse quantizer IS a constant of the index, like the
+    hyperplane matrix). Sorted by cell so positional argmax ties resolve to
+    the smallest cell id."""
+    return sorted(
+        (int(r["cell"]), [int(x) for x in r["cv"]], float(r["cnrm"]))
+        for r in cents.collect()
+    )
+
+
+def _bind_once(value_col, body):
+    """Evaluate ``value_col`` exactly once per row and pass it to ``body`` as
+    a bound lambda variable. Catalyst's CollapseProject re-INLINES any
+    deterministic projected column into every consumer expression (the
+    round-2 lesson: an expensive expr referenced k times runs k times), but a
+    higher-order-function lambda variable is bound to the evaluated VALUE —
+    the one scoping construct in Spark SQL with call-by-value semantics."""
+    return F.get(F.transform(F.array(value_col), body), 0)
+
+
+def _cell_sims(cent_rows, qv, qn):
+    """Per-row array of rounded cosines against every centroid (cell-ascending
+    order). Centroids enter as LITERALS, so scoring is a pure per-row
+    projection — zero shuffle, no join at all. The expression per cell is the
+    identical double tree the round-2 crossJoin form evaluated (dot of exact
+    quantized ints / (norm·cnrm), round 4), so values are bit-unchanged."""
+    return F.array(
+        *[
+            F.round(_dot(qv, F.lit(cv)) / (qn * F.lit(cnrm)), 4)
+            for _, cv, cnrm in cent_rows
+        ]
+    )
+
+
+def _argmax_cell(cent_rows, qv_col, qn_col):
+    """Zero-shuffle per-row argmax cell: max rounded cosine, ties → smallest
+    cell (array_position returns the FIRST index of the max and cent_rows is
+    cell-ascending — the same (desc csim, asc cell) order the round-2 window
+    formulation used, without the corpus×n_cells exchange+sort it paid).
+    The quantized vector/norm pair and the sims array are each bound once
+    per row (``_bind_once``) so the n_cells dots run exactly once."""
+    cells = F.array(*[F.lit(c) for c, _, _ in cent_rows])
+    return _bind_once(
+        F.struct(qv_col.alias("q"), qn_col.alias("n")),
+        lambda st: _bind_once(
+            _cell_sims(cent_rows, st["q"], st["n"]),
+            lambda s: F.element_at(
+                cells, F.array_position(s, F.array_max(s)).cast("int")
+            ),
+        ),
+    )
+
+
+def _np_round4(x):
+    """Round-half-away-from-zero to 4 decimals on float64 — the same decision
+    DuckDB's round() makes; agrees with Spark's F.round everywhere a cosine
+    of quantized-integer vectors can land (the quotient of an exact-integer
+    dot by two irrational norms never sits within 1 ulp of a decimal tie)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
+def _np_cell_argmax(Q, C, cn, cell_ids):
+    """Vectorized assignment of quantized rows Q (int64 n×dim) to centroids C
+    (int64 k×dim): one integer matmul — every intermediate is an exact
+    integer < 2⁵³ (components ≤ ~2²⁰, dim ≤ 4096), so the doubles that come
+    out are bit-identical to the JVM sequential-fold expression. Ties on the
+    rounded cosine resolve to the smallest cell (argmax-first over
+    cell-ascending columns — the round-2 Window's (desc csim, asc cell))."""
+    import numpy as np
+
+    dots = (Q @ C.T).astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    sims = _np_round4(dots / (qn[:, None] * cn[None, :]))
+    return cell_ids[np.argmax(sims, axis=1)]
+
+
 def train_centroids(
     emb: DataFrame,
     n_cells: int = 16,
@@ -349,73 +428,123 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Deterministic Lloyd-trained coarse quantizer as a DataFrame
+    (cell, cv array<long>, cnrm double) — see ``_train_centroid_rows`` for
+    the algorithm; this wrapper exists for API/oracle symmetry, internal
+    callers consume the driver-side rows directly (they are metadata-sized
+    constants of the index, like a hyperplane matrix)."""
+    rows = _train_centroid_rows(emb, n_cells, n_iters, id_col, vec_col)
+    return emb.sparkSession.createDataFrame(
+        [(c, cv, n) for c, cv, n in rows], "cell int, cv array<long>, cnrm double"
+    )
+
+
+def _train_centroid_rows(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int], float]]:
     """Deterministic Lloyd (k-means) refinement of the coarse quantizer, on
     integer-quantized vectors. Returns (cell, cv array<long>, cnrm double).
 
-    Seeding is the n_cells lowest-id vectors (relabelled 0..n_cells-1) — the
-    round-1 'toy quantizer' — but each Lloyd round reassigns every vector to
-    its max-cosine centroid and recomputes centroids as the component-wise
-    integer mean, so the final cells track the data distribution. Everything
-    is exact integer arithmetic viewed through doubles (components ≤ 2²⁰,
-    per-cell sums ≤ 2⁵³): assignment cosines, means and norms come out
-    bit-identical in any engine, which is what lets the DuckDB oracle
-    replicate the full training loop value-for-value. Cells that lose all
-    members keep their previous centroid.
+    Seeding is the n_cells lowest-id vectors (relabelled 0..n_cells-1), but
+    each Lloyd round reassigns every vector to its max-cosine centroid and
+    recomputes centroids as the component-wise integer mean, so the final
+    cells track the data distribution. Everything is exact integer arithmetic
+    viewed through doubles (components ≤ 2²⁰, per-cell sums ≤ 2⁵³):
+    assignment cosines, means and norms come out bit-identical in any engine,
+    which is what lets the DuckDB oracle replicate the full training loop
+    value-for-value. Cells that lose all members keep their previous centroid.
 
-    Physical shape per round: one broadcast of C centroids into the corpus
-    scan (assignment, no shuffle of the corpus) + one (cell, pos) aggregate —
-    map-side partial, C·dim groups. At 10^10 vectors each round is a scan +
-    a tiny aggregate; n_iters is a small constant (quality plateaus fast for
-    a coarse quantizer whose only job is cell routing)."""
-    from pyspark.sql import Window
+    Physical shape per round: ONE narrow mapInPandas pass over the corpus —
+    centroids ride in as task constants, assignment is a vectorized int64
+    matmul, and each task emits its per-cell component sums/counts (k rows
+    per task, metadata-sized) which the driver folds in exact int arithmetic.
+    Zero shuffle of the corpus, zero window (round 2 paid a corpus×n_cells
+    exchange+sort per round here). At 10^10 vectors each round is exactly one
+    scan; n_iters is a small constant (quality plateaus fast for a coarse
+    quantizer whose only job is cell routing).
 
-    q = emb.select(F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qv"))
-    w0 = Window.orderBy("id")
-    cents = (
-        q.orderBy("id")
-        .limit(n_cells)
-        .select((F.row_number().over(w0) - 1).alias("cell"), F.col("qv").alias("cv"))
+    Cross-engine determinism of the driver-side folds: component sums/counts
+    are exact ints; the mean is floor(IEEE-double s/c) — the identical
+    division every engine computes on exact integer inputs — and cnrm is
+    sqrt of the exact integer self-dot (< 2⁵³), correctly rounded in every
+    IEEE runtime."""
+    import math
+
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    seed = sorted(
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect(),
+        key=lambda r: r[id_col],
+    )
+
+    def _quant_py(vec) -> list[int]:
+        # floor(float64(x) · 2²⁰): same IEEE mult+floor as the JVM expression
+        return [int(math.floor(float(x) * float(_QSCALE))) for x in vec]
+
+    def _cnrm(cv: list[int]) -> float:
+        return math.sqrt(float(sum(x * x for x in cv)))
+
+    rows: list[tuple[int, list[int], float]] = []
+    for cell, r in enumerate(seed):
+        cv = _quant_py(r[vec_col])
+        rows.append((cell, cv, _cnrm(cv)))
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("c", T.LongType()),
+        ]
     )
     for _ in range(max(0, n_iters)):
-        cn = cents.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
-        sim = F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * F.col("cnrm")), 4
-        )
-        wv = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cell"))
-        asg = (
-            q.crossJoin(F.broadcast(cn))
-            .select("id", "qv", "cell", sim.alias("csim"))
-            .withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("qv", "cell")
-        )
-        comp = (
-            asg.select("cell", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-        )
-        newc = (
-            comp.select(
-                "cell",
-                "pos",
-                # floor of the exact double quotient — both engines compute
-                # the identical IEEE division on exact integer inputs
-                F.floor(F.col("s") / F.col("c")).cast("long").alias("cmp"),
+        C = np.array([cv for _, cv, _ in rows], dtype=np.int64)
+        cn = np.array([n for _, _, n in rows], dtype=np.float64)
+        cell_ids = np.array([c for c, _, _ in rows], dtype=np.int64)
+
+        def gen(batches, C=C, cn=cn, cell_ids=cell_ids):
+            import pandas as _pd
+
+            sums = np.zeros_like(C)
+            counts = np.zeros(len(cell_ids), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                Q = np.floor(V * float(_QSCALE)).astype(np.int64)
+                idx = np.searchsorted(cell_ids, _np_cell_argmax(Q, C, cn, cell_ids))
+                np.add.at(sums, idx, Q)
+                counts += np.bincount(idx, minlength=len(cell_ids))
+            yield _pd.DataFrame(
+                {"cell": cell_ids.astype(np.int32), "s": list(sums), "c": counts}
             )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cmp"))),
-                    lambda s: s["cmp"],
-                ).alias("cv")
-            )
-        )
-        cents = (
-            cents.select("cell", F.col("cv").alias("_prev"))
-            .join(newc, "cell", "left")
-            .select("cell", F.coalesce("cv", "_prev").alias("cv"))
-        )
-    return cents.select("cell", "cv", _norm(F.col("cv")).alias("cnrm"))
+
+        part = emb.select(vec_col).mapInPandas(gen, part_schema).collect()
+        tot_s: dict[int, list[int]] = {}
+        tot_c: dict[int, int] = {}
+        for r in part:
+            c = int(r["cell"])
+            tot_c[c] = tot_c.get(c, 0) + int(r["c"])
+            if c in tot_s:
+                tot_s[c] = [a + int(b) for a, b in zip(tot_s[c], r["s"])]
+            else:
+                tot_s[c] = [int(b) for b in r["s"]]
+        nxt = []
+        for c, cv, cnrm in rows:
+            if tot_c.get(c):
+                # floor of the exact IEEE double quotient — every engine
+                # computes the identical division on exact integer inputs
+                ncv = [int(math.floor(s / tot_c[c])) for s in tot_s[c]]
+                nxt.append((c, ncv, _cnrm(ncv)))
+            else:  # cell lost all members: keep previous centroid
+                nxt.append((c, cv, cnrm))
+        rows = nxt
+    return rows
 
 
 def assign_cells(
@@ -425,31 +554,64 @@ def assign_cells(
     vec_col: str = "embedding",
     n_iters: int = 2,
     cents: DataFrame | None = None,
+    cent_rows: list[tuple[int, list[int], float]] | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine trained centroid (cosine of the
     integer-quantized vector against the integer centroid, rounded to 4
     digits, ties broken by cell id — reproducible in any engine). Pass
     ``cents`` (from ``train_centroids``) to reuse an already-trained
-    quantizer."""
-    if cents is None:
-        cents = train_centroids(emb, n_cells, n_iters, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_nrm"),
-        _quantize(F.col(vec_col)).alias("_qv"),
-    )
-    sim = F.round(_dot(F.col("_qv"), F.col("cv")) / (_norm(F.col("_qv")) * F.col("cnrm")), 4)
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col), F.col("_nrm"), F.col("cell"), sim.alias("csim")
-    )
-    from pyspark.sql import Window
+    quantizer.
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    Physical plan: one narrow mapInPandas over the corpus scan (vectorized
+    int64 matmul argmax — the centroids are task constants) + a projection
+    for the JVM-expression norm. ZERO Exchange (plan-shape-tested); round 2
+    shuffled corpus×n_cells rows through a Window.partitionBy(id) to make
+    the same per-row decision."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if cent_rows is None:
+        if cents is None:
+            cent_rows = _train_centroid_rows(emb, n_cells, n_iters, id_col, vec_col)
+        else:
+            cent_rows = _collect_cent_rows(cents)
+    C = np.array([cv for _, cv, _ in cent_rows], dtype=np.int64)
+    cn = np.array([n for _, _, n in cent_rows], dtype=np.float64)
+    cell_ids = np.array([c for c, _, _ in cent_rows], dtype=np.int64)
+    in_fields = emb.select(id_col, vec_col).schema.fields
+    out_schema = T.StructType(list(in_fields) + [T.StructField("cell", T.IntegerType())])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Q = np.floor(V * float(_QSCALE)).astype(np.int64)
+            best = _np_cell_argmax(Q, C, cn, cell_ids)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cell": best.astype(np.int32),
+                }
+            )
+
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "_nrm", "cell")
+        emb.select(id_col, vec_col)
+        .mapInPandas(gen, out_schema)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            # norm of the RAW float vector stays a JVM expression: its value
+            # feeds the final rounded cosine, which must remain bit-identical
+            # to the sequential-fold oracle replication (floats, unlike the
+            # quantized ints, are order-sensitive under summation)
+            _norm(F.col(vec_col)).alias("_nrm"),
+            F.col("cell"),
+        )
     )
 
 
@@ -465,30 +627,44 @@ def ivf_topk(
     """IVF approximate top-k: probe only the ``nprobe`` nearest cells per
     query. Recall < 1 by design; the exact baseline is cosine_topk. The
     coarse quantizer is Lloyd-trained (``train_centroids``) — trained ONCE
-    and shared by the index assignment and the query probes. All norms are
-    computed once per vector; every comparison is on the rounded cosine
-    (deterministic cross-engine)."""
-    cents = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
-    cents = cents.localCheckpoint(eager=True)  # tiny; consumed by 2 branches
-    cells = assign_cells(emb, n_cells, id_col, vec_col, cents=cents)
-    qbase = queries.select(
+    and shared by the index assignment and the query probes.
+
+    Physical shape: training = n_iters scans (zero-shuffle argmax + tiny
+    aggregate); index assignment = one narrow projection over the corpus
+    (no Exchange); probe selection = per-row top-nprobe over the centroid
+    literal array (comparator array_sort — no window); candidate join =
+    broadcast of the probe set, so the corpus is never shuffled. The only
+    exchange in the whole query is the final per-query top-k over the
+    candidate set, which is the scored output itself."""
+    cent_rows = _train_centroid_rows(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells(emb, n_cells, id_col, vec_col, cent_rows=cent_rows)
+    qq = _quantize(F.col(vec_col))
+    cell_ids = F.array(*[F.lit(c) for c, _, _ in cent_rows])
+    # comparator sort ≡ the round-2 Window (desc qsim, asc cell), per row
+    top = _bind_once(
+        F.struct(qq.alias("q"), _norm(qq).alias("n")),
+        lambda st: F.slice(
+            F.array_sort(
+                F.zip_with(
+                    _cell_sims(cent_rows, st["q"], st["n"]),
+                    cell_ids,
+                    lambda s, c: F.struct(s.alias("s"), c.alias("cell")),
+                ),
+                lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+                .when(a["s"] < b["s"], F.lit(1))
+                .otherwise((a["cell"] - b["cell"]).cast("int")),
+            ),
+            1,
+            nprobe,
+        ),
+    )
+    probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        _quantize(F.col(vec_col)).alias("qq"),
-    )
-    qsim = F.round(_dot(F.col("qq"), F.col("cv")) / (_norm(F.col("qq")) * F.col("cnrm")), 4)
-    from pyspark.sql import Window
-
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
-    probes = (
-        qbase.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "qn", "cell", qsim.alias("qsim"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "qn", "cell")
-    )
-    cand = probes.join(
+        F.explode(top).alias("_pc"),
+    ).select("query_id", "qv", "qn", F.col("_pc.cell").alias("cell"))
+    cand = F.broadcast(probes).join(
         cells.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
@@ -498,6 +674,8 @@ def ivf_topk(
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    from pyspark.sql import Window
+
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))

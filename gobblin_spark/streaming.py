@@ -31,6 +31,16 @@ from .engine import CdcEngine
 from .schema import merge_schemas
 
 
+# Sentinel framing for cross-thread exception transport: foreachBatch
+# exceptions reach the caller WRAPPED in StreamingQueryException with only the
+# message text reliably preserved, so the merged schema rides the message as
+# a delimited JSON payload. The marker is unique enough that an unrelated
+# error can't trigger a schema restart (the round-2 substring match on the
+# class name "SchemaChangedError" could).
+_SCHEMA_SENTINEL = "<<gobblin-spark:schema-changed:"
+_SCHEMA_SENTINEL_END = ":end-schema>>"
+
+
 class SchemaChangedError(RuntimeError):
     """A file in the current micro-batch carries a schema WIDER than the
     stream's frozen read schema (the mid-stream added-column case,
@@ -40,7 +50,10 @@ class SchemaChangedError(RuntimeError):
     from the stream checkpoint under the new schema."""
 
     def __init__(self, new_schema: T.StructType):
-        super().__init__(f"stream schema widened to: {new_schema.simpleString()}")
+        super().__init__(
+            f"stream schema widened {_SCHEMA_SENTINEL}{new_schema.json()}"
+            f"{_SCHEMA_SENTINEL_END}"
+        )
         self.new_schema = new_schema
 
 
@@ -134,10 +147,20 @@ def drain_evolving(
     surfaces a widened file, the failed (uncommitted) batch replays under the
     merged schema on the next attempt and the new column flows through the
     engine's existing schema-merge-on-write path into the table."""
+    import json
+
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     results: list[dict] = []  # shared across attempts: batches applied before
     current = schema          # a schema abort are already committed
+
+    def _collect(r: dict) -> None:
+        # after a restart the stream checkpoint replays batches that already
+        # committed; they come back fenced ({"skipped": True}) — keep only
+        # real applies so callers see one entry per committed batch
+        if not r.get("skipped"):
+            results.append(r)
+
     for _ in range(max_restarts + 1):
         q = tail_changelog(
             engine,
@@ -145,21 +168,33 @@ def drain_evolving(
             checkpoint_dir,
             schema=current,
             available_now=True,
-            on_batch=results.append,
+            on_batch=_collect,
             **kwargs,
         )
         try:
             q.awaitTermination()
             return results
         except StreamingQueryException as e:
-            # foreachBatch exceptions surface wrapped; re-resolve the widened
-            # schema from the landing zone and restart the tail
-            if "SchemaChangedError" not in str(e):
+            # foreachBatch exceptions surface wrapped with only the message
+            # text preserved; the sentinel frames the merged schema as JSON
+            msg = str(e)
+            i = msg.find(_SCHEMA_SENTINEL)
+            if i < 0:
                 raise
-            actual = engine.spark.read.option("mergeSchema", True).parquet(
-                changelog_path
-            ).schema
-            current = merge_schemas(current, actual) if current is not None else actual
+            j = msg.find(_SCHEMA_SENTINEL_END, i)
+            current = None
+            if j > i:
+                try:
+                    current = T.StructType.fromJson(
+                        json.loads(msg[i + len(_SCHEMA_SENTINEL) : j])
+                    )
+                except (ValueError, KeyError):
+                    current = None  # payload mangled in transport — fall back
+            if current is None:
+                actual = engine.spark.read.option("mergeSchema", True).parquet(
+                    changelog_path
+                ).schema
+                current = merge_schemas(schema, actual) if schema is not None else actual
     raise RuntimeError(f"schema still evolving after {max_restarts} restarts")
 
 
@@ -204,11 +239,18 @@ def stateful_lww_updates(
     def fn(key, pdf_iter, state: GroupState):
         best = None  # (ts_us, off, one-row DataFrame with original dtypes)
         for pdf in pdf_iter:
+            # null-version rows can never win LWW, but pandas sort_values
+            # places NaT LAST regardless of order — drop them up front or a
+            # null row is picked as the "max" and the real winner is lost
+            pdf = pdf[pdf[ts_col].notna() & pdf[off_col].notna()]
             if len(pdf) == 0:
                 continue
             srt = pdf.sort_values([ts_col, off_col], kind="mergesort")
             row = srt.iloc[[-1]]
-            ts_us = int(row[ts_col].iloc[0].value // 1000)  # pandas ns → µs
+            tsv = row[ts_col].iloc[0]
+            # pandas Timestamp carries .value (ns); an epoch-int column
+            # (already µs/ms per upstream contract) passes through as int
+            ts_us = int(tsv.value // 1000) if hasattr(tsv, "value") else int(tsv)
             off = int(row[off_col].iloc[0])
             if best is None or (ts_us, off) > (best[0], best[1]):
                 best = (ts_us, off, row)

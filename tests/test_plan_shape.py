@@ -167,6 +167,33 @@ def test_text_ops_are_pure_codegen(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, op.__name__
 
 
+def test_ivf_assignment_has_no_exchange(spark, tmp_path):
+    """IVF cell assignment is a per-row decision over task-constant centroids:
+    the plan must be a narrow scan → mapInPandas → project chain with ZERO
+    Exchange. (Round 2 shuffled corpus×n_cells rows through a
+    crossJoin + Window.partitionBy(id) to make the same decision — the one
+    plan the round-2 verdict flagged as unshippable at 100×.)"""
+    import math
+
+    from gobblin_spark.operators.similarity import assign_cells
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    path = os.path.join(str(tmp_path), "emb")
+    emb.write.parquet(path)
+    cent_rows = [
+        (c, [c + 1] * 8, float(c + 1) * math.sqrt(8.0)) for c in range(4)
+    ]
+    df = assign_cells(spark.read.parquet(path), 4, cent_rows=cent_rows)
+    plan = _explain(df, "simple")
+    assert "Exchange" not in plan, plan
+    # and the decision actually ran: every row got a valid cell
+    cells = {r["cell"] for r in df.collect()}
+    assert cells <= {0, 1, 2, 3} and df.count() == 40
+
+
 def test_jaccard_checkpoint_bounds_scan_count(spark, tmp_path):
     """The prefix postings are checkpointed before their self-join and the
     verify side is pruned to candidate docs: the final plan reads the source
