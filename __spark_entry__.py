@@ -29,10 +29,15 @@ from gobblin_spark.operators.dedup_families import (
 )
 from gobblin_spark.operators.fork import fork_counts
 from gobblin_spark.operators.multimodal import (
+    audio_stats,
     binary_meta,
     extract_features,
+    image_stats,
     resize_images,
     sample_frames,
+    synth_audio_payloads,
+    synth_image_payloads,
+    synth_video_payloads,
 )
 from gobblin_spark.operators.similarity import (
     cosine_topk,
@@ -446,42 +451,58 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Feature extraction over binary payloads (STUB decode, real mapInPandas
-    plumbing). The reported aggregate reconstructs the integer digest bytes
-    from the float32 features (round(x·255) is exact through the f32
-    round-trip), so the DuckDB sha256 oracle matches value-for-value."""
+    """REAL image decode end-to-end: deterministic closed-form images are
+    encoded as genuine P6 PPM (even ids) / 24-bit BMP (odd ids) bytes, then
+    ``extract_features`` parses the actual pixel data back out with the
+    stdlib codecs. The DuckDB oracle recomputes width/height/channel sums
+    symbolically from the synth closed form — any decode bug (row padding,
+    BGR order, header parse) breaks the value hash."""
     docs = _docs(spark, sf_dir)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payloads = synth_image_payloads(docs, fmt="mixed")
     feats = extract_features(payloads)
+    f = F.col("feature")
     return feats.select(
         "doc_id",
-        F.aggregate(
-            F.col("feature"),
-            F.lit(0).cast("long"),
-            lambda a, x: a + F.round(x.cast("double") * 255).cast("long"),
-        ).alias("feature_byte_sum"),
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("sum_r"),
+        f[3].cast("long").alias("sum_g"),
+        f[4].cast("long").alias("sum_b"),
     )
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Image-resize plumbing (STUB decode, real mapInPandas 1:1 transform):
-    the deterministic stub payload is a sha256 digest, so the DuckDB oracle
-    replicates it byte-for-byte (compared as lowercase hex)."""
+    """REAL decode→resize→re-encode→re-decode chain: synth PPM → nearest-
+    neighbor resample to 4×3 (floor index map src = out·src_dim // out_dim)
+    → P6 re-encode → ``image_stats`` decodes the OUTPUT payload and reports
+    its pixel sum. The oracle applies the same NN index map to the closed
+    form, so both the resample math and both codec directions are
+    value-checked."""
     docs = _docs(spark, sf_dir)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    resized = resize_images(payloads, width=64, height=48)
-    return resized.select(
-        "doc_id", "width", "height", F.lower(F.hex(F.col("payload"))).alias("payload_sha")
-    )
+    payloads = synth_image_payloads(docs, fmt="ppm")
+    resized = resize_images(payloads, width=4, height=3)
+    return image_stats(resized, passthrough=["doc_id"], bin_col="payload")
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
-    """Video-frame sampling fan-out (STUB decode, real 1:N mapInPandas
-    plumbing): frames per doc with deterministic pseudo frame count."""
+    """REAL video-frame sampling: synth back-to-back-P6 'video' streams
+    (3 + doc_id%7 frames), ``sample_frames`` parses the stream and re-encodes
+    every 2nd frame, ``image_stats`` decodes each emitted frame. 1:N fan-out
+    row set AND per-frame pixel sums are oracle-checked."""
     docs = _docs(spark, sf_dir)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    frames = sample_frames(payloads, every_n=10)
-    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    payloads = synth_video_payloads(docs)
+    frames = sample_frames(payloads, every_n=2)
+    return image_stats(frames, passthrough=["doc_id", "frame_idx"], bin_col="frame")
+
+
+def q_multimodal_audio_stats(spark, sf_dir):
+    """REAL PCM-WAV decode: synth closed-form mono 16-bit WAV payloads via
+    the stdlib ``wave`` writer, decode with ``audio_stats``, report
+    rate/channels/frame-count/exact sample sum (oracle recomputes them
+    symbolically)."""
+    docs = _docs(spark, sf_dir)
+    payloads = synth_audio_payloads(docs)
+    return audio_stats(payloads)
 
 
 # --------------------------------------------------- training-data pipeline
@@ -641,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
     }
 
 
@@ -1243,22 +1265,54 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_neardup_lsh": _lsh_neardup_sql(source=_planted_emb_sql()),
         "emb_lsh_recall": _lsh_recall_sql(),
+        # the multimodal oracles recompute the synth closed forms from
+        # multimodal.py symbolically: px[y,x,c] = (doc_id + 7y + 11x + 13c) % 256
+        # over w = 8 + doc_id%5, h = 6 + doc_id%4 (images); +17f per frame
+        # at fixed 6x4 (video); s[i] = (7*doc_id + 13i) % 2048 - 1024 (audio)
         "multimodal_features": """
             SELECT doc_id,
-                   CAST(list_sum(list_transform(range(1, 17), i ->
-                     ('0x' || substr(sha256(text), 2*CAST(i AS INT)-1, 2))::BIGINT))
-                     AS BIGINT) AS feature_byte_sum
+                   CAST(8 + doc_id % 5 AS BIGINT) AS width,
+                   CAST(6 + doc_id % 4 AS BIGINT) AS height,
+                   CAST(list_sum(flatten(list_transform(range(0, 6 + doc_id % 4), y ->
+                     list_transform(range(0, 8 + doc_id % 5), x ->
+                       (doc_id + 7*y + 11*x) % 256)))) AS BIGINT) AS sum_r,
+                   CAST(list_sum(flatten(list_transform(range(0, 6 + doc_id % 4), y ->
+                     list_transform(range(0, 8 + doc_id % 5), x ->
+                       (doc_id + 7*y + 11*x + 13) % 256)))) AS BIGINT) AS sum_g,
+                   CAST(list_sum(flatten(list_transform(range(0, 6 + doc_id % 4), y ->
+                     list_transform(range(0, 8 + doc_id % 5), x ->
+                       (doc_id + 7*y + 11*x + 26) % 256)))) AS BIGINT) AS sum_b
             FROM documents
         """,
         "multimodal_resize": """
-            SELECT doc_id, 64 AS width, 48 AS height,
-                   sha256(text || '64x48') AS payload_sha
+            SELECT doc_id,
+                   CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+                   CAST(list_sum(flatten(list_transform(range(0, 3), y ->
+                     flatten(list_transform(range(0, 4), x ->
+                       list_transform(range(0, 3), c ->
+                         (doc_id + 7*((y*(6 + doc_id % 4)) // 3)
+                                 + 11*((x*(8 + doc_id % 5)) // 4)
+                                 + 13*c) % 256)))))) AS BIGINT) AS px_sum
             FROM documents
         """,
         "multimodal_frame_sample": """
+            SELECT d.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+                   CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+                     flatten(list_transform(range(0, 6), x ->
+                       list_transform(range(0, 3), c ->
+                         (d.doc_id + 17*f.frame_idx + 7*y + 11*x + 13*c) % 256))))))
+                     AS BIGINT) AS px_sum
+            FROM documents d,
+                 unnest(range(0, 3 + d.doc_id % 7, 2)) AS f(frame_idx)
+        """,
+        "multimodal_audio_stats": """
             SELECT doc_id,
-                   CAST((greatest(1, octet_length(encode(text)) // 64) + 9) // 10
-                     AS BIGINT) AS n_frames
+                   CAST(8000 + 1000*(doc_id % 4) AS BIGINT) AS rate,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST(50 + doc_id % 20 AS BIGINT) AS n_frames,
+                   CAST(list_sum(list_transform(range(0, 50 + doc_id % 20), i ->
+                     (7*doc_id + 13*i) % 2048 - 1024)) AS BIGINT) AS sample_sum
             FROM documents
         """,
         "multimodal_binary_stats": """

@@ -1,0 +1,182 @@
+"""Pure-stdlib media codecs — REAL decode for uncompressed formats.
+
+This sandbox has no PIL/cv2/pyav (verified each round), so compressed formats
+(JPEG/PNG/H.264) stay behind the clearly-marked sha256 stub fallback in
+``multimodal.py``. Uncompressed formats, however, need nothing beyond
+``struct``/``wave``/numpy, so they are decoded for real:
+
+- **P6 PPM** (binary portable pixmap): header tokenizer (handles ``#``
+  comments), raw RGB24 body. Also a trivial "ppm stream" (back-to-back P6
+  frames) that stands in for an uncompressed video container.
+- **24-bit BI_RGB BMP**: BITMAPFILEHEADER/BITMAPINFOHEADER via ``struct``,
+  bottom-up row order, 4-byte row padding — the classic gotchas, handled and
+  unit-tested.
+- **PCM WAV** via the stdlib ``wave`` module (16-bit samples → int16 array).
+
+Everything returns/consumes numpy arrays so the mapInPandas operators in
+``multimodal.py`` can run vectorized per Arrow batch. All functions are
+deterministic; resize is nearest-neighbor with floor index mapping
+(``src_idx = out_idx * src_dim // out_dim``) — exactly replicable in SQL,
+which is what lets the DuckDB contract oracles check real pixel values.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------- PPM
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse one binary P6 PPM. Returns (width, height, h×w×3 uint8 array)."""
+    arr, end = _decode_ppm_at(payload, 0)
+    if end != len(payload):
+        raise ValueError(f"trailing bytes after PPM body ({len(payload) - end})")
+    h, w = arr.shape[0], arr.shape[1]
+    return w, h, arr
+
+
+def _decode_ppm_at(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse a P6 frame starting at ``pos``; returns (pixels, end_offset)."""
+    if buf[pos : pos + 2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos += 2
+    vals = []
+    while len(vals) < 3:
+        # skip whitespace and '#' comments between header tokens
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    body = buf[pos : pos + need]
+    if len(body) != need:
+        raise ValueError(f"truncated PPM body: {len(body)} < {need}")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3), pos + need
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Back-to-back P6 frames (the uncompressed stand-in for a video
+    container): parse frames until the buffer is exhausted."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        arr, pos = _decode_ppm_at(payload, pos)
+        frames.append(arr)
+    return frames
+
+
+# ---------------------------------------------------------------------- BMP
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed (BI_RGB) BMP. Returns (width, height,
+    h×w×3 uint8 RGB array, top-down)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    row_stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = []
+    for y in range(h):
+        off = data_off + y * row_stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    if h_signed > 0:
+        img = img[::-1]  # positive height ⇒ bottom-up storage
+    return w, h, img
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP, bottom-up, 4-byte padded rows."""
+    h, w = arr.shape[0], arr.shape[1]
+    row_stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - w * 3)
+    body = b"".join(
+        np.ascontiguousarray(arr[y, :, ::-1], dtype=np.uint8).tobytes() + pad
+        for y in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + body
+
+
+# ---------------------------------------------------------------------- WAV
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM16 WAV via stdlib ``wave``. Returns (rate, channels,
+    (n_frames, channels) int16 array)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError(f"unsupported WAV sample width {wf.getsampwidth()}")
+            rate, ch, n = wf.getframerate(), wf.getnchannels(), wf.getnframes()
+            raw = wf.readframes(n)
+    except (wave.Error, EOFError) as e:  # normalize stdlib errors for callers
+        raise ValueError(f"bad WAV: {e}") from e
+    return rate, ch, np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """samples: (n_frames, channels) int16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+# -------------------------------------------------------------------- resize
+def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with floor index mapping
+    (src = out_idx · src_dim // out_dim) — deterministic, SQL-replicable."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+# --------------------------------------------------------------------- sniff
+def sniff_format(payload: bytes) -> str:
+    """Magic-number format sniff (extends the round-2 list with the formats
+    we can now actually decode)."""
+    if payload.startswith(b"\x89PNG"):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith(b"GIF8"):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload.startswith(b"P6"):
+        return "ppm"
+    if payload.startswith(b"RIFF"):
+        return "wav" if payload[8:12] == b"WAVE" else "riff"
+    if payload.startswith(b"%PDF"):
+        return "pdf"
+    return "unknown"
