@@ -21,7 +21,6 @@ condition computes from record counts."""
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
@@ -41,16 +40,18 @@ class RecompactionConditions:
 
 
 def _bucket_file_stats(table: SnapshotTable) -> tuple[int, int]:
-    """(max files under any bucket's referenced dirs, total referenced files)."""
+    """(max files under any bucket's referenced entries, total referenced
+    files) — read straight off the manifest, which records per-bucket file
+    counts at commit time (``lake._bucket_file_counts``). NO filesystem
+    access here: at 10^6 buckets a listdir-per-bucket trigger evaluation is
+    a driver-side metadata scan of the whole table; the manifest numbers are
+    O(1) to read and exactly as fresh as the commit they rode in on.
+    Entries from pre-file-count manifests default to 1 file."""
     m = table.manifest()
     max_files = total = 0
-    for b, entry in m["buckets"].items():
+    for entry in m["buckets"].values():
         entries = entry if isinstance(entry, list) else [entry]
-        n = 0
-        for e in entries:
-            d = os.path.join(table.root, e["data"], f"_bucket={b}")
-            if os.path.isdir(d):
-                n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        n = sum(int(e.get("files", 1)) for e in entries)
         max_files = max(max_files, n)
         total += n
     return max_files, total

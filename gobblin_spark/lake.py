@@ -53,6 +53,20 @@ def _with_hidden(visible: T.StructType) -> T.StructType:
     return T.StructType(list(visible.fields) + HIDDEN_FIELDS)
 
 
+def _bucket_file_counts(out_path: str) -> dict[int, int]:
+    """Parquet files per ``_bucket=`` dir of a just-written snapshot dir.
+    Called once at COMMIT time (O(written buckets), driver-side like the
+    write itself) so the manifest can carry per-bucket file counts and the
+    re-compaction trigger never has to list the filesystem."""
+    counts: dict[int, int] = {}
+    for d in os.listdir(out_path):
+        if d.startswith("_bucket="):
+            counts[int(d.split("=", 1)[1])] = sum(
+                1 for f in os.listdir(os.path.join(out_path, d)) if f.endswith(".parquet")
+            )
+    return counts
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -69,6 +83,7 @@ class SnapshotTable:
         key: str = "url",
         n_buckets: int = 16,
         properties: dict | None = None,
+        max_generations: int = 8,
     ) -> "SnapshotTable":
         os.makedirs(os.path.join(root, "meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -78,6 +93,7 @@ class SnapshotTable:
             "version": 0,
             "key": key,
             "n_buckets": n_buckets,
+            "max_generations": max_generations,
             "current_schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
             "buckets": {},
@@ -282,21 +298,72 @@ class SnapshotTable:
             u.select([*names, "_bucket"]).write.mode("overwrite").partitionBy(
                 "_bucket"
             ).parquet(out_path)
-            written = {
-                int(d.split("=", 1)[1])
-                for d in os.listdir(out_path)
-                if d.startswith("_bucket=")
-            }
+            file_counts = _bucket_file_counts(out_path)
+            written = set(file_counts)
             new_buckets = {
                 b: list(self._bucket_entries(e)) for b, e in m["buckets"].items()
             }
             for b in sorted(written):
                 new_buckets.setdefault(str(b), []).append(
-                    {"data": data_rel, "schema_id": schema_id}
+                    {"data": data_rel, "schema_id": schema_id, "files": file_counts[b]}
                 )
             schemas = dict(m["schemas"])
             if schema_changed:
                 schemas[str(schema_id)] = new_schema.jsonValue()
+
+            # Bounded manifest growth (LSM-style): a bucket whose generation
+            # list exceeds ``max_generations`` is folded back to ONE entry in
+            # the SAME commit — its generations are read, LWW-collapsed
+            # (tombstones kept: they still fence replays), and rewritten to a
+            # fold dir referenced by the new manifest. Cost is O(overflowing
+            # buckets), amortized O(1/max_generations) of the table per
+            # commit stream; manifest size stays ≤ n_buckets·max_generations
+            # entries forever. A crash before the pointer swap leaves only an
+            # unreferenced fold dir — the usual replay story.
+            cap = int(m.get("max_generations", 8))
+            overflow = sorted(
+                int(b) for b, ents in new_buckets.items() if len(ents) > cap
+            )
+            folded = []
+            if overflow:
+                fold_rel = f"data/v{new_version:06d}f"
+                fold_path = os.path.join(self.root, fold_rel)
+                by_schema: dict[int, list[str]] = {}
+                for b in overflow:
+                    for ent in new_buckets[str(b)]:
+                        by_schema.setdefault(ent["schema_id"], []).append(
+                            os.path.join(self.root, ent["data"], f"_bucket={b}")
+                        )
+                parts = []
+                for sid, paths in by_schema.items():
+                    stored = _with_hidden(
+                        T.StructType.fromJson(schemas[str(sid)])
+                    )
+                    parts.append(
+                        conform(self.spark.read.schema(stored).parquet(*paths), full)
+                    )
+                all_gens = parts[0]
+                for p in parts[1:]:
+                    all_gens = all_gens.unionByName(p)
+                collapsed = lww_latest(
+                    all_gens, [key], ["_version_ts", "_version_off"]
+                ).select(names)
+                collapsed = collapsed.withColumn("_bucket", self.bucket_expr())
+                collapsed.repartition(len(overflow), F.col("_bucket")).write.mode(
+                    "overwrite"
+                ).partitionBy("_bucket").parquet(fold_path)
+                fold_counts = _bucket_file_counts(fold_path)
+                for b in overflow:
+                    if b in fold_counts:
+                        new_buckets[str(b)] = {
+                            "data": fold_rel,
+                            "schema_id": schema_id,
+                            "files": fold_counts[b],
+                        }
+                    else:  # bucket held only rows that no longer exist
+                        new_buckets.pop(str(b), None)
+                folded = overflow
+
             self._commit(
                 {
                     **m,
@@ -312,6 +379,7 @@ class SnapshotTable:
                 "version": new_version,
                 "mode": "delta",
                 "affected_buckets": sorted(written),
+                "folded_buckets": folded,
                 "schema_changed": schema_changed,
             }
 
@@ -364,11 +432,8 @@ class SnapshotTable:
         # entry (or stay absent). The converse — a written bucket outside
         # `affected` — would silently drop the target rows that were never
         # read, so it is a hard error, not a repair.
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out_path)
-            if d.startswith("_bucket=")
-        }
+        file_counts = _bucket_file_counts(out_path)
+        written = set(file_counts)
         stray = written - set(affected)
         if stray:
             raise ValueError(
@@ -377,7 +442,11 @@ class SnapshotTable:
             )
         new_buckets = dict(m["buckets"])
         for b in sorted(written):
-            new_buckets[str(b)] = {"data": data_rel, "schema_id": schema_id}
+            new_buckets[str(b)] = {
+                "data": data_rel,
+                "schema_id": schema_id,
+                "files": file_counts[b],
+            }
         schemas = dict(m["schemas"])
         if schema_changed:
             schemas[str(schema_id)] = new_schema.jsonValue()
@@ -410,20 +479,19 @@ class SnapshotTable:
         data_rel = f"data/v{new_version:06d}"
         df = df.repartition(self.n_buckets, F.col("_bucket"))
         df.write.mode("overwrite").partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
-        written = [
-            d.split("=", 1)[1]
-            for d in os.listdir(os.path.join(self.root, data_rel))
-            if d.startswith("_bucket=")
-        ]
+        file_counts = _bucket_file_counts(os.path.join(self.root, data_rel))
         manifest = {
             **m,
             "version": new_version,
             "parent": m["version"],
-            "buckets": {b: {"data": data_rel, "schema_id": m["current_schema_id"]} for b in written},
+            "buckets": {
+                str(b): {"data": data_rel, "schema_id": m["current_schema_id"], "files": n}
+                for b, n in sorted(file_counts.items())
+            },
             "properties": {**m["properties"], **(properties or {})},
         }
         self._commit(manifest)
-        return {"version": new_version, "buckets": len(written)}
+        return {"version": new_version, "buckets": len(file_counts)}
 
     def delete_where(self, condition, properties: dict | None = None) -> dict:
         """Physical delete of matching live rows (≈ retention/compliance purge,
@@ -443,20 +511,19 @@ class SnapshotTable:
         kept.write.mode("overwrite").partitionBy("_bucket").parquet(
             os.path.join(self.root, data_rel)
         )
-        written = [
-            d.split("=", 1)[1]
-            for d in os.listdir(os.path.join(self.root, data_rel))
-            if d.startswith("_bucket=")
-        ]
+        file_counts = _bucket_file_counts(os.path.join(self.root, data_rel))
         manifest = {
             **m,
             "version": new_version,
             "parent": m["version"],
-            "buckets": {b: {"data": data_rel, "schema_id": m["current_schema_id"]} for b in written},
+            "buckets": {
+                str(b): {"data": data_rel, "schema_id": m["current_schema_id"], "files": n}
+                for b, n in sorted(file_counts.items())
+            },
             "properties": {**m["properties"], **(properties or {})},
         }
         self._commit(manifest)
-        return {"version": new_version, "buckets": len(written)}
+        return {"version": new_version, "buckets": len(file_counts)}
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Retention (≈ TimeBasedRetentionPolicy / Iceberg expire_snapshots):
