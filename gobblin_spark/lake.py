@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,6 +146,7 @@ class SnapshotTable:
 
     def _commit(self, manifest: dict) -> None:
         meta = os.path.join(self.root, "meta")
+        manifest["committed_at"] = time.time()  # read by time-based retention
         os.makedirs(meta, exist_ok=True)
         path = os.path.join(meta, f"v{manifest['version']:06d}.json")
         with open(path + ".tmp", "w") as f:
