@@ -410,21 +410,33 @@ def contamination_check(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 13,
+    distribution: str = "broadcast",
 ) -> DataFrame:
     """Benchmark decontamination: per document, the fraction (basis points) of
     its distinct char n-grams that occur anywhere in the benchmark corpus —
     the standard eval-leakage gate before training-set publication.
 
-    Physical shape for 100 TB: the benchmark side is aggregated to its
-    DISTINCT shingle set and broadcast (eval benchmarks are MBs; the corpus
-    is the big side), so the probe is a broadcast LEFT SEMI join inside the
-    corpus scan — no shuffle of the corpus. If a benchmark ever outgrows the
-    broadcast threshold, AQE falls back to a shuffled semi-join on the same
-    plan. The contaminated-count aggregate is map-side partial.
+    Physical shape for 100 TB, explicit via ``distribution``:
+
+    - ``"broadcast"`` (default): the benchmark side is aggregated to its
+      DISTINCT shingle set and broadcast (eval benchmarks are MBs; the
+      corpus is the big side), so the probe is a broadcast LEFT SEMI join
+      inside the corpus scan — no shuffle of the corpus.
+    - ``"shuffle"``: for benchmark suites past the broadcast ceiling
+      (hundreds of MBs of distinct shingles × executor count), a
+      shuffle-hash LEFT SEMI join — both sides exchange on the shingle key
+      once; still no quadratic work, and the corpus shuffle carries only
+      (id, n_sh, shingle), not document text. This is the named operating
+      mode, not an AQE accident — the plan is pinned either way in
+      tests/test_plan_shape.py.
+
+    The contaminated-count aggregate is map-side partial in both modes.
 
     Joins on the shingle STRING (not a hash) so an independent engine
     replicates exactly; swap in xxhash64 keys at production scale to shrink
-    the broadcast (a collision can only overcount by one shingle)."""
+    the broadcast/exchange (a collision can only overcount by one shingle)."""
+    if distribution not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown distribution: {distribution}")
     doc_sh = _sized_shingles(docs, id_col, text_col, n).select(
         "id", "n_sh", F.explode("shingles").alias("sh")
     )
@@ -434,7 +446,8 @@ def contamination_check(
         .select(F.explode("shingles").alias("sh"))
         .distinct()
     )
-    hits = doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+    probe = F.broadcast(bench_sh) if distribution == "broadcast" else bench_sh.hint("shuffle_hash")
+    hits = doc_sh.join(probe, "sh", "left_semi")
     counts = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hit"))
     base = _sized_shingles(docs, id_col, text_col, n).select("id", "n_sh")
     return (

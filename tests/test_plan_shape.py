@@ -148,6 +148,37 @@ def test_contamination_probe_is_broadcast_semi_join(spark):
     assert all("BroadcastHashJoin" in ln for ln in semi_lines), plan
 
 
+def test_contamination_shuffle_mode_plan_and_equivalence(spark):
+    """distribution='shuffle' (benchmark past the broadcast ceiling) must be
+    a shuffled LEFT SEMI join — an Exchange on the shingle key, NO broadcast
+    of the benchmark side — and must return bit-identical results to the
+    broadcast mode."""
+    from gobblin_spark.operators.dedup_families import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    shuffled = contamination_check(docs, bench, n=5, distribution="shuffle")
+    plan = _explain(shuffled, "simple")
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, plan
+    assert not any("BroadcastHashJoin" in ln for ln in semi_lines), plan
+    assert any(
+        "ShuffledHashJoin" in ln or "SortMergeJoin" in ln for ln in semi_lines
+    ), plan
+    assert "hashpartitioning(sh" in plan, plan
+
+    base = contamination_check(docs, bench, n=5)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(map(tuple, base.collect()))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        contamination_check(docs, bench, n=5, distribution="magic")
+
+
 def test_text_ops_are_pure_codegen(spark):
     """bpe/repetition/pii/fingerprint plans contain no Python evaluation —
     the whole text-stats family stays JVM-side (input_hint: no per-row
