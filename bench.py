@@ -20,6 +20,7 @@ import gc
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -32,6 +33,24 @@ from gobblin_spark.lake import SnapshotTable  # noqa: E402
 from gobblin_spark.session import get_spark, tune_input_splits  # noqa: E402
 
 N_LOG_PARTITIONS = 32
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — sampled around every timed
+    run so shared-host noise is RECORDED, not guessed at. Returns (0, 1)
+    where /proc/stat is unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0, 1
+
+
+def steal_fraction(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dtotal = max(1, after[1] - before[1])
+    return round((after[0] - before[0]) / dtotal, 4)
 
 
 def warmup(spark, workdir: str) -> float:
@@ -70,11 +89,14 @@ def bench_cdc_replay(
     tune_input_splits(spark, changelog_path)
     changelog = spark.read.parquet(changelog_path)
 
-    # Best-of-N over identical replays (fresh table each time, one shared
-    # changelog): this VM is a shared host with multi-minute windows of 3-5x
+    # Median-of-N over identical replays (fresh table each time, one shared
+    # changelog). This VM is a shared host with multi-minute windows of 3-5x
     # steal-induced slowdown (membw probe + load-avg-with-no-local-process
-    # evidence); min-of-N (3 for the headline) keeps a noise spike out of the headline
-    # without hiding sustained regressions.
+    # evidence). Outlier policy, written down (VERDICT r2 #7): the headline
+    # estimator is the MEDIAN (robust to a single steal-window spike in
+    # either direction, unlike best-of which can ride a lucky window); every
+    # run's wall time AND its /proc/stat steal fraction are reported next to
+    # the headline so dispersion is visible, not summarized away.
     runs = []
     for i in range(max(1, repeats)):
         table_root = os.path.join(workdir, f"pages_table_{i}")
@@ -83,10 +105,12 @@ def bench_cdc_replay(
         # ingest configuration at 10^10 events; compaction folds generations
         # off the ingest path and is timed separately below
         engine = CdcEngine(spark, table, job_id=f"bench{i}", merge_mode="delta")
+        j0 = _cpu_jiffies()
         t0 = time.monotonic()
         # offsets are global ids here, so the per-batch cap is in offset units
         results = engine.run(changelog, max_events_per_batch=max(1, n_events // n_batches))
         apply_sec = time.monotonic() - t0
+        j1 = _cpu_jiffies()
         n_applied = sum(r.get("rows_read", 0) for r in results if not r.get("skipped"))
         t0 = time.monotonic()
         compact = table.compact()
@@ -94,20 +118,27 @@ def bench_cdc_replay(
         runs.append(
             {
                 "cdc_replay_sec": round(apply_sec, 3),
+                "steal_frac": steal_fraction(j0, j1),
                 "compact_sec": compact_sec,
                 "n_events_applied": n_applied,
                 "n_batches": len(results),
                 "final_version": compact["version"],
             }
         )
-    best = min(runs, key=lambda r: r["cdc_replay_sec"])
+    times = sorted(r["cdc_replay_sec"] for r in runs)
+    med = statistics.median(times)
+    headline = min(runs, key=lambda r: abs(r["cdc_replay_sec"] - med))
     return {
-        **best,
+        **headline,
+        "cdc_replay_sec": round(med, 3),
         "cdc_gen_sec": round(gen_sec, 3),
         "n_events": n_events,
-        "events_per_sec": round(n_events / best["cdc_replay_sec"], 1),
+        "events_per_sec": round(n_events / med, 1),
         "merge_mode": "delta",
         "replay_runs_sec": [r["cdc_replay_sec"] for r in runs],
+        "replay_steal_fracs": [r["steal_frac"] for r in runs],
+        "replay_spread": round((times[-1] - times[0]) / med, 3),
+        "best_run_sec": times[0],
     }
 
 
@@ -165,14 +196,18 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
-        replay = bench_cdc_replay(spark, n_events, workdir, repeats=3)
+        replay = bench_cdc_replay(
+            spark, n_events, workdir, repeats=int(os.environ.get("BENCH_REPEATS", "5"))
+        )
         replay["warmup_sec"] = warm_sec
         out = {
             "metric": (
                 "wall-clock sec of binlog-replay → snapshot-table upsert apply loop "
                 f"({n_events} synthetic change events, {N_LOG_PARTITIONS} log partitions, "
-                "2 fenced batches, session pre-warmed, best of 3 identical replays "
-                "(shared-host noise guard; both in detail.replay_runs_sec): LWW dedup "
+                "2 fenced batches, session pre-warmed, MEDIAN of 5 identical replays "
+                "(shared-host noise policy: median estimator, every run + its "
+                "/proc/stat steal fraction in detail.replay_runs_sec/"
+                "replay_steal_fracs, spread in detail.replay_spread): LWW dedup "
                 "+ vectorized text extraction + delta MERGE commits (merge-on-read); "
                 "post-loop compaction timed separately in detail.compact_sec)"
             ),

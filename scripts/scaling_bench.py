@@ -15,12 +15,26 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — system-wide, so sampling in
+    this parent process around each child spark-submit captures the shared
+    host's steal during the run. Returns (0, 1) where unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0, 1
 
 
 def build_pyfiles_zip(path: str) -> str:
@@ -99,7 +113,7 @@ def main() -> None:
         default=None,
         help="table layout buckets; default sizes each bucket to ~256MB of rows",
     )
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--merge-mode", choices=("rewrite", "delta"), default="rewrite")
     args = ap.parse_args()
 
@@ -111,14 +125,38 @@ def main() -> None:
         # bucket sizing: ~1.2KB/row expanded; target ~256MB of row data per
         # bucket so the per-bucket LWW sort + merge stays in memory
         n_buckets = args.n_buckets or min(4096, max(32, (args.events * 1200) // (256 << 20)))
-        levels = {}
-        for cores in (args.n, 4 * args.n):
-            best = None
-            for _ in range(args.repeats):
+        # Outlier policy, written down (VERDICT r2 #7): per level the
+        # estimator is the MEDIAN of `repeats` identical runs — robust to a
+        # single shared-host steal window in either direction, unlike best-of
+        # which can ride a lucky window. Every run's wall time and its
+        # /proc/stat steal fraction are carried in the result so dispersion
+        # is visible next to the headline, not summarized away. Levels
+        # ALTERNATE (N, 4N, N, 4N, ...) instead of running back-to-back so a
+        # multi-minute noise window hits both levels, not just one — noise
+        # then cancels in the ratio rather than biasing it.
+        per_level: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
+        for _ in range(args.repeats):
+            for cores in (args.n, 4 * args.n):
+                j0 = _cpu_jiffies()
                 r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode)
-                if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                    best = r
-            levels[cores] = best
+                j1 = _cpu_jiffies()
+                dt = max(1, j1[1] - j0[1])
+                r["steal_frac"] = round((j1[0] - j0[0]) / dt, 4)
+                per_level[cores].append(r)
+
+        levels = {}
+        for cores, runs in per_level.items():
+            times = sorted(x["apply_sec"] for x in runs)
+            med = statistics.median(times)
+            rep = min(runs, key=lambda x: abs(x["apply_sec"] - med))
+            levels[cores] = {
+                **rep,
+                "apply_sec": round(med, 3),
+                "events_per_sec": round(args.events / med, 1),
+                "runs_sec": [x["apply_sec"] for x in runs],
+                "steal_fracs": [x["steal_frac"] for x in runs],
+                "spread": round((times[-1] - times[0]) / med, 3),
+            }
 
         small, large = levels[args.n], levels[4 * args.n]
         eff = (large["events_per_sec"] / small["events_per_sec"]) / 4.0
@@ -130,6 +168,7 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "criterion": ">=0.8",
             "passes": eff >= 0.8,
+            "estimator": f"median of {args.repeats} alternating runs per level",
         }
         print(json.dumps(result))
         write_bench_md(result, args)
@@ -153,15 +192,37 @@ generation — gobblin_spark/datagen.py), 32 log partitions, replayed in
 {result["n_batches"]} fenced batches (plan → LWW dedup → vectorized text
 extraction → {result["merge_mode"]} MERGE → checkpoint commit).
 
-| cluster size | events/sec | wall sec |
-|---|---|---|
-| local[{small_c}] (N) | {s["events_per_sec"]:,} | {s["apply_sec"]} |
-| local[{large_c}] (4N) | {l["events_per_sec"]:,} | {l["apply_sec"]} |
+| cluster size | events/sec (median) | wall sec (median) | runs (sec) | steal fracs | spread |
+|---|---|---|---|---|---|
+| local[{small_c}] (N) | {s["events_per_sec"]:,} | {s["apply_sec"]} | {s["runs_sec"]} | {s["steal_fracs"]} | {s["spread"]} |
+| local[{large_c}] (4N) | {l["events_per_sec"]:,} | {l["apply_sec"]} | {l["runs_sec"]} | {l["steal_fracs"]} | {l["spread"]} |
 
 **Scaling efficiency (rate_4N / rate_N) / 4 = {result["scaling_efficiency"]}**
 (criterion >= 0.8: {"PASS" if result["passes"] else "FAIL"})
 
-Reproduce: `python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n}`
+Measurement protocol (noise policy, written down): this VM is a shared host
+with multi-minute windows of 3-5x steal-induced slowdown (membw probe +
+load-avg-with-no-local-process evidence, round 1). Each level's estimator is
+the **median of {args.repeats} identical runs**; runs ALTERNATE between the
+two levels (N, 4N, N, 4N, ...) so a noise window lands on both sides of the
+ratio instead of biasing one; every run's wall time and its /proc/stat steal
+fraction over the run window are in the table, so dispersion is reported
+next to the headline rather than summarized away.
+
+Commit mode: **{result["merge_mode"]}** (merge-on-read generation appends) — the
+sustained-ingest configuration at 10^10 events; rewrite mode measured 0.93
+in round 1 under the best-of protocol.
+
+Levels above 8 threads hit the VM's measured memory-bandwidth ceiling
+(71.7 GB/s peak at 8 procs, 46.6 at 16 — scripts/membw_probe.py) and
+anti-scale for hardware reasons; N={small_c} vs 4N={large_c} stays inside
+the linear region of this single box. On a real multi-executor cluster each
+executor brings its own memory bus and local disks, which is why the job is
+shipped exactly as the north rule states (spark-submit --py-files,
+master-agnostic) rather than tuned to local mode.
+
+Reproduce: `python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n} \\
+    --merge-mode {result["merge_mode"]} --repeats {args.repeats}`
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
