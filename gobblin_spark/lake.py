@@ -54,6 +54,23 @@ def _with_hidden(visible: T.StructType) -> T.StructType:
     return T.StructType(list(visible.fields) + HIDDEN_FIELDS)
 
 
+def resolve_bucket_index(root: str, raw_manifest: dict) -> tuple[dict, set[str]]:
+    """(bucket index, referenced shard relpaths) for a PERSISTED manifest
+    dict, resolving format-v2 shard pointers. Every metadata reader that
+    walks history files directly (retention, expiry) must go through this —
+    a sharded manifest's raw JSON has no ``buckets`` key, and treating that
+    as an empty table would let a cleaner delete live data dirs."""
+    if raw_manifest.get("bucket_shards") is None:
+        return raw_manifest.get("buckets", {}), set()
+    buckets: dict = {}
+    shards = set()
+    for rel in raw_manifest["bucket_shards"].values():
+        shards.add(rel)
+        with open(os.path.join(root, rel)) as f:
+            buckets.update(json.load(f))
+    return buckets, shards
+
+
 def _bucket_file_counts(out_path: str) -> dict[int, int]:
     """Parquet files per ``_bucket=`` dir of a just-written snapshot dir.
     Called once at COMMIT time (O(written buckets), driver-side like the
@@ -73,6 +90,8 @@ class SnapshotTable:
         self.spark = spark
         self.root = root
         self._manifest: dict | None = None
+        # sharded-manifest mode: shard_id -> (relpath, {bucket: entry})
+        self._shard_cache: dict[int, tuple[str, dict]] = {}
 
     # ---------------------------------------------------------------- meta
     @classmethod
@@ -85,16 +104,23 @@ class SnapshotTable:
         n_buckets: int = 16,
         properties: dict | None = None,
         max_generations: int = 8,
+        manifest_shards: int = 0,
     ) -> "SnapshotTable":
+        """``manifest_shards`` > 0 switches the bucket index to SHARDED
+        persistence (Iceberg manifest-list model, see _commit): pass
+        ~n_buckets/1000 so a commit serializes O(touched buckets), not
+        O(table). 0 (default) keeps the single inline index — right for
+        small tables where one JSON beats a file per shard."""
         os.makedirs(os.path.join(root, "meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         manifest = {
-            "format_version": 1,
+            "format_version": 2 if manifest_shards else 1,
             "version": 0,
             "key": key,
             "n_buckets": n_buckets,
             "max_generations": max_generations,
+            "manifest_shards": manifest_shards,
             "current_schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
             "buckets": {},
@@ -113,7 +139,20 @@ class SnapshotTable:
             with open(os.path.join(self.root, "meta", "_current")) as f:
                 v = int(f.read().strip())
             with open(os.path.join(self.root, "meta", f"v{v:06d}.json")) as f:
-                self._manifest = json.load(f)
+                m = json.load(f)
+            if m.get("bucket_shards") is not None:
+                # sharded persistence: assemble the in-memory bucket index
+                # from the shard files ONCE per process; commits after this
+                # reuse unchanged shards by reference (see _commit)
+                buckets: dict[str, object] = {}
+                self._shard_cache = {}
+                for sid, rel in m.pop("bucket_shards").items():
+                    with open(os.path.join(self.root, rel)) as f:
+                        part = json.load(f)
+                    buckets.update(part)
+                    self._shard_cache[int(sid)] = (rel, part)
+                m["buckets"] = buckets
+            self._manifest = m
         return self._manifest
 
     @property
@@ -148,9 +187,44 @@ class SnapshotTable:
         meta = os.path.join(self.root, "meta")
         manifest["committed_at"] = time.time()  # read by time-based retention
         os.makedirs(meta, exist_ok=True)
+        persisted = manifest
+        n_shards = int(manifest.get("manifest_shards") or 0)
+        if n_shards > 0:
+            # Iceberg manifest-list model: the versioned manifest carries only
+            # a POINTER TABLE to bucket-index shard files (shard = bucket %
+            # n_shards); a shard whose bucket subset is unchanged since the
+            # last loaded/committed version is carried forward by reference —
+            # zero serialization, zero IO. Commit cost is O(touched shards ·
+            # shard size + n_shards pointers) instead of O(n_buckets ·
+            # generations); at 10^6 buckets with 10^3 shards a 10-bucket
+            # batch rewrites ~10 shard files of ~10^3 entries each. Unchanged-
+            # shard detection is a driver-side dict equality (C-level, no
+            # serialization). Shard files land before the pointer swap, so a
+            # crash strands only unreferenced shards (GC'd by
+            # expire_snapshots), the usual replay story.
+            shards_dir = os.path.join(meta, "shards")
+            os.makedirs(shards_dir, exist_ok=True)
+            split: dict[int, dict] = {s: {} for s in range(n_shards)}
+            for b, e in manifest["buckets"].items():
+                split[int(b) % n_shards][b] = e
+            pointers: dict[str, str] = {}
+            for sid in range(n_shards):
+                cached = self._shard_cache.get(sid)
+                if cached is not None and cached[1] == split[sid]:
+                    pointers[str(sid)] = cached[0]
+                    continue
+                rel = f"meta/shards/s{sid:04d}-v{manifest['version']:06d}.json"
+                full = os.path.join(self.root, rel)
+                with open(full + ".tmp", "w") as f:
+                    json.dump(split[sid], f)
+                os.replace(full + ".tmp", full)
+                pointers[str(sid)] = rel
+                self._shard_cache[sid] = (rel, split[sid])
+            persisted = {k: v for k, v in manifest.items() if k != "buckets"}
+            persisted["bucket_shards"] = pointers
         path = os.path.join(meta, f"v{manifest['version']:06d}.json")
         with open(path + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=1)
+            json.dump(persisted, f, indent=1)
         os.replace(path + ".tmp", path)
         fd, tmp = tempfile.mkstemp(dir=meta)
         with os.fdopen(fd, "w") as f:
@@ -537,10 +611,13 @@ class SnapshotTable:
         )
         keep = set(versions[-keep_last:])
         keep_dirs: set[str] = set()
+        keep_shards: set[str] = set()
         for v in keep:
             with open(os.path.join(meta, f"v{v:06d}.json")) as f:
                 mv = json.load(f)
-            for e in mv["buckets"].values():
+            bmap, shard_refs = resolve_bucket_index(self.root, mv)
+            keep_shards |= shard_refs
+            for e in bmap.values():
                 keep_dirs |= {ent["data"] for ent in self._bucket_entries(e)}
         removed = []
         for v in versions:
@@ -548,6 +625,11 @@ class SnapshotTable:
                 continue
             os.unlink(os.path.join(meta, f"v{v:06d}.json"))
             removed.append(v)
+        shards_dir = os.path.join(meta, "shards")
+        if os.path.isdir(shards_dir):
+            for fn in os.listdir(shards_dir):
+                if f"meta/shards/{fn}" not in keep_shards:
+                    os.unlink(os.path.join(shards_dir, fn))
         data = os.path.join(self.root, "data")
         for d in os.listdir(data):
             if f"data/{d}" not in keep_dirs:

@@ -26,7 +26,7 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
-from .lake import SnapshotTable
+from .lake import SnapshotTable, resolve_bucket_index
 
 
 @dataclass(frozen=True)
@@ -35,6 +35,7 @@ class VersionInfo:
     committed_at: float  # unix seconds (0.0 for pre-timestamp manifests)
     data_dirs: frozenset[str] = field(default_factory=frozenset)
     is_current: bool = False
+    shard_files: frozenset[str] = field(default_factory=frozenset)
 
 
 def list_versions(table: SnapshotTable) -> list[VersionInfo]:
@@ -48,8 +49,9 @@ def list_versions(table: SnapshotTable) -> list[VersionInfo]:
             continue
         with open(os.path.join(meta, f)) as fh:
             m = json.load(fh)
+        bmap, shard_refs = resolve_bucket_index(table.root, m)
         dirs = set()
-        for e in m.get("buckets", {}).values():
+        for e in bmap.values():
             for ent in e if isinstance(e, list) else [e]:
                 dirs.add(ent["data"])
         out.append(
@@ -58,6 +60,7 @@ def list_versions(table: SnapshotTable) -> list[VersionInfo]:
                 committed_at=float(m.get("committed_at", 0.0)),
                 data_dirs=frozenset(dirs),
                 is_current=int(m["version"]) == current,
+                shard_files=frozenset(shard_refs),
             )
         )
     return sorted(out, key=lambda v: v.version, reverse=True)
@@ -169,14 +172,21 @@ def apply_retention(table: SnapshotTable, policy: RetentionPolicy) -> list[int]:
     if not doomed:
         return []
     keep_dirs: set[str] = set()
+    keep_shards: set[str] = set()
     for v in versions:
         if v.version not in doomed:
             keep_dirs |= v.data_dirs
+            keep_shards |= v.shard_files
     meta = os.path.join(table.root, "meta")
     removed = []
     for v in sorted(doomed):
         os.unlink(os.path.join(meta, f"v{v:06d}.json"))
         removed.append(v)
+    shards_dir = os.path.join(meta, "shards")
+    if os.path.isdir(shards_dir):
+        for fn in os.listdir(shards_dir):
+            if f"meta/shards/{fn}" not in keep_shards:
+                os.unlink(os.path.join(shards_dir, fn))
     data = os.path.join(table.root, "data")
     if os.path.isdir(data):
         for d in os.listdir(data):

@@ -125,25 +125,49 @@ def main() -> None:
         # bucket sizing: ~1.2KB/row expanded; target ~256MB of row data per
         # bucket so the per-bucket LWW sort + merge stays in memory
         n_buckets = args.n_buckets or min(4096, max(32, (args.events * 1200) // (256 << 20)))
-        # Outlier policy, written down (VERDICT r2 #7): per level the
-        # estimator is the MEDIAN of `repeats` identical runs — robust to a
-        # single shared-host steal window in either direction, unlike best-of
-        # which can ride a lucky window. Every run's wall time and its
-        # /proc/stat steal fraction are carried in the result so dispersion
-        # is visible next to the headline, not summarized away. Levels
-        # ALTERNATE (N, 4N, N, 4N, ...) instead of running back-to-back so a
-        # multi-minute noise window hits both levels, not just one — noise
-        # then cancels in the ratio rather than biasing it.
+        # Noise policy, written down (VERDICT r2 #7). This shared host drifts
+        # by 2x across minutes (steal windows + cache warming — measured: 4
+        # back-to-back identical runs went 108s -> 78s -> 51s -> 44s), so
+        # per-level medians taken minutes apart bias the RATIO even when each
+        # level's median is individually robust. Estimator: PAIRED ROUNDS.
+        # One untimed warm-up run is discarded; then each round runs N and 4N
+        # BACK-TO-BACK (temporally adjacent, so a noise window hits both
+        # sides of that round's ratio), each round yields one efficiency
+        # sample, and the headline is the MEDIAN of per-round efficiencies.
+        # Round order alternates ((N,4N), (4N,N), ...) so any monotone
+        # warming/cooling trend cancels across rounds instead of favoring
+        # one level. Every run's wall time and /proc/stat steal fraction are
+        # reported next to the headline.
+        run_level(  # discarded warm-up (page cache, JIT-ish fixed costs)
+            args.n, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode
+        )
+        rounds = []
         per_level: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
-        for _ in range(args.repeats):
-            for cores in (args.n, 4 * args.n):
+        for i in range(args.repeats):
+            order = (args.n, 4 * args.n) if i % 2 == 0 else (4 * args.n, args.n)
+            sample: dict[int, dict] = {}
+            for cores in order:
                 j0 = _cpu_jiffies()
                 r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode)
                 j1 = _cpu_jiffies()
                 dt = max(1, j1[1] - j0[1])
                 r["steal_frac"] = round((j1[0] - j0[0]) / dt, 4)
+                sample[cores] = r
                 per_level[cores].append(r)
+            eff_i = (sample[args.n]["apply_sec"] / sample[4 * args.n]["apply_sec"]) / 4.0
+            rounds.append(
+                {
+                    "order": list(order),
+                    "sec_n": sample[args.n]["apply_sec"],
+                    "sec_4n": sample[4 * args.n]["apply_sec"],
+                    "steal_n": sample[args.n]["steal_frac"],
+                    "steal_4n": sample[4 * args.n]["steal_frac"],
+                    "efficiency": round(eff_i, 3),
+                }
+            )
 
+        effs = sorted(r["efficiency"] for r in rounds)
+        eff = statistics.median(effs)
         levels = {}
         for cores, runs in per_level.items():
             times = sorted(x["apply_sec"] for x in runs)
@@ -158,17 +182,21 @@ def main() -> None:
                 "spread": round((times[-1] - times[0]) / med, 3),
             }
 
-        small, large = levels[args.n], levels[4 * args.n]
-        eff = (large["events_per_sec"] / small["events_per_sec"]) / 4.0
         result = {
             "n_events": args.events,
             "n_batches": args.n_batches,
             "merge_mode": args.merge_mode,
             "levels": levels,
+            "rounds": rounds,
             "scaling_efficiency": round(eff, 3),
+            "efficiency_spread": [effs[0], effs[-1]],
             "criterion": ">=0.8",
             "passes": eff >= 0.8,
-            "estimator": f"median of {args.repeats} alternating runs per level",
+            "estimator": (
+                f"median of {args.repeats} per-round efficiencies; each round "
+                "runs N and 4N back-to-back, round order alternates, one "
+                "discarded warm-up run"
+            ),
         }
         print(json.dumps(result))
         write_bench_md(result, args)
@@ -197,17 +225,27 @@ extraction → {result["merge_mode"]} MERGE → checkpoint commit).
 | local[{small_c}] (N) | {s["events_per_sec"]:,} | {s["apply_sec"]} | {s["runs_sec"]} | {s["steal_fracs"]} | {s["spread"]} |
 | local[{large_c}] (4N) | {l["events_per_sec"]:,} | {l["apply_sec"]} | {l["runs_sec"]} | {l["steal_fracs"]} | {l["spread"]} |
 
-**Scaling efficiency (rate_4N / rate_N) / 4 = {result["scaling_efficiency"]}**
-(criterion >= 0.8: {"PASS" if result["passes"] else "FAIL"})
+Per-round samples (each row = one back-to-back N/4N pair):
+
+| round | order | sec @N | sec @4N | steal @N | steal @4N | efficiency |
+|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i} | {r['order']} | {r['sec_n']} | {r['sec_4n']} | {r['steal_n']} | {r['steal_4n']} | {r['efficiency']} |" for i, r in enumerate(result["rounds"]))}
+
+**Scaling efficiency = median of per-round efficiencies = {result["scaling_efficiency"]}**
+(per-round spread {result["efficiency_spread"]}; criterion >= 0.8:
+{"PASS" if result["passes"] else "FAIL"})
 
 Measurement protocol (noise policy, written down): this VM is a shared host
-with multi-minute windows of 3-5x steal-induced slowdown (membw probe +
-load-avg-with-no-local-process evidence, round 1). Each level's estimator is
-the **median of {args.repeats} identical runs**; runs ALTERNATE between the
-two levels (N, 4N, N, 4N, ...) so a noise window lands on both sides of the
-ratio instead of biasing one; every run's wall time and its /proc/stat steal
-fraction over the run window are in the table, so dispersion is reported
-next to the headline rather than summarized away.
+that drifts ~2x across minutes (steal windows + cache warming; measured: 4
+back-to-back identical runs went 108s → 78s → 51s → 44s), so per-level
+medians taken minutes apart bias the RATIO even when each level's median is
+individually robust. The estimator is therefore PAIRED: one discarded
+warm-up run, then each round runs N and 4N back-to-back (a noise window
+lands on both sides of that round's ratio), each round contributes one
+efficiency sample, the headline is the **median of {args.repeats} per-round
+efficiencies**, and round order alternates ((N,4N), (4N,N), ...) so any
+monotone host trend cancels instead of favoring one level. Every run's wall
+time and /proc/stat steal fraction are in the tables above.
 
 Commit mode: **{result["merge_mode"]}** (merge-on-read generation appends) — the
 sustained-ingest configuration at 10^10 events; rewrite mode measured 0.93
