@@ -27,6 +27,7 @@ from gobblin_spark.operators.dedup_families import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from gobblin_spark.operators.clustering import dup_clusters
 from gobblin_spark.operators.fork import fork_counts
 from gobblin_spark.operators.multimodal import (
     audio_stats,
@@ -584,6 +585,17 @@ def q_docs_minhash_neardup(spark, sf_dir):
     return minhash_near_dup_pairs(_docs(spark, sf_dir), n=20, k=32, bands=8, min_jaccard_bp=6000)
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Pairs → duplicate GROUPS: connected components (large-star/small-star,
+    O(log n) rounds) over the exact n-gram-Jaccard pair set, rolled up to
+    (cluster_id, n_docs, keep_id). The DuckDB oracle recomputes components
+    with a recursive min-reachability CTE over the identical pair set — an
+    independent algorithm as the witness (star-contraction vs transitive
+    closure)."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=20, min_jaccard_bp=6000)
+    return dup_clusters(pairs)
+
+
 def q_docs_simhash_neardup(spark, sf_dir):
     """Pigeonhole-banded SimHash near-dup (exact for the requested distance:
     d+1 blocks). DuckDB oracle replicates signature, banding and verify."""
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow": q_docs_winnow,
         "docs_contamination": q_docs_contamination,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_minhash_neardup": q_docs_minhash_neardup,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1258,6 +1271,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s2
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
+        # components via recursive min-reachability (independent algorithm:
+        # the Spark side runs large-star/small-star star contraction)
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id, a_id FROM pairs
+            ),
+            reach(n, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n
+            ),
+            comp AS (SELECT n AS node, min(r) AS component FROM reach GROUP BY n)
+            SELECT component AS cluster_id, count(*) AS n_docs,
+                   min(node) AS keep_id
+            FROM comp GROUP BY 1
+        """,
         "docs_minhash_neardup": _minhash_sql(),
         "docs_simhash_neardup": _simhash_sql(),
         "emb_cosine_topk": _COSINE_SQL,
