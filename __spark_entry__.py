@@ -288,6 +288,51 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+def q_cdc_changes_between(spark, sf_dir):
+    """Incremental consumption — the CDC READ side (≈ Iceberg changelog
+    scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
+    snapshot v2 = LWW state of everything (delta commit); changes_between
+    classifies the net per-key delta as insert/update/delete with
+    manifest-diff bucket pruning. The DuckDB oracle recomputes both states
+    with window functions and classifies independently."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+
+    def batch(pred):
+        d = lww_latest(ev.filter(pred), ["user_id"], ["ts", "event_id"])
+        return d.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            "props",
+            "event_id",
+            F.col("ts").alias("_version_ts"),
+            F.col("event_id").alias("_version_off"),
+            (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
+        )
+
+    b1 = batch(F.col("event_id") <= 7000)
+    hidden = {"_version_ts", "_version_off", "_deleted"}
+    schema = T.StructType([f for f in b1.schema.fields if f.name not in hidden])
+    root = tempfile.mkdtemp(prefix="changes-between-")
+    t = SnapshotTable.create(spark, f"{root}/t", schema, key="user_id", n_buckets=8)
+    t.merge(b1)
+    t.merge(batch(F.col("event_id") > 7000), mode="delta")
+    ch = t.changes_between(1, 2)
+    return ch.select(
+        "user_id",
+        F.col("_change_type").alias("change_type"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_completeness_gate(spark, sf_dir):
     """Audit-count completeness gate (≈ CompletenessWatermarkUpdater /
     AuditCountClient): per-partition applied-vs-expected counts with the
@@ -645,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compaction_stats": q_cdc_compaction_stats,
         "cdc_retention_filter": q_cdc_retention_filter,
         "cdc_completeness_gate": q_cdc_completeness_gate,
+        "cdc_changes_between": q_cdc_changes_between,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1085,6 +1131,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_remaining
             FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
             GROUP BY event_type
+        """,
+        "cdc_changes_between": f"""
+            WITH s1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id <= 7000
+              ) WHERE rn = 1
+            ),
+            s2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            cl AS (
+              SELECT s2.user_id,
+                     CASE
+                       WHEN (s1.user_id IS NULL OR s1.event_type = '{DELETE_TYPE}')
+                            AND s2.event_type <> '{DELETE_TYPE}' THEN 'insert'
+                       WHEN s1.event_type <> '{DELETE_TYPE}'
+                            AND s2.event_type = '{DELETE_TYPE}' THEN 'delete'
+                       WHEN s1.event_type <> '{DELETE_TYPE}'
+                            AND s2.event_type <> '{DELETE_TYPE}'
+                            AND s1.event_id <> s2.event_id THEN 'update'
+                     END AS change_type,
+                     CASE WHEN s2.event_type = '{DELETE_TYPE}'
+                          THEN s1.event_id ELSE s2.event_id END AS last_event_id,
+                     CASE WHEN s2.event_type = '{DELETE_TYPE}'
+                          THEN s1.value ELSE s2.value END AS last_value
+              FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+            )
+            SELECT * FROM cl WHERE change_type IS NOT NULL
         """,
         "cdc_completeness_gate": """
             WITH a AS (
