@@ -29,6 +29,11 @@ from gobblin_spark.operators.dedup_families import (
 )
 from gobblin_spark.operators.clustering import dup_clusters
 from gobblin_spark.operators.fork import fork_counts
+from gobblin_spark.operators.sampling import (
+    pack_shards,
+    sample_stratified,
+    shard_stats,
+)
 from gobblin_spark.operators.multimodal import (
     audio_stats,
     binary_meta,
@@ -630,6 +635,32 @@ def q_docs_minhash_neardup(spark, sf_dir):
     return minhash_near_dup_pairs(_docs(spark, sf_dir), n=20, k=32, bands=8, min_jaccard_bp=6000)
 
 
+def q_docs_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling for training-data export:
+    row-local md5-hash threshold, zero shuffle, reproducible across engines
+    (the oracle re-derives the identical draw in DuckDB)."""
+    docs = _docs(spark, sf_dir)
+    s = sample_stratified(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 2500, "de": 5000, "zh": 1000},
+        default_bp=7500,
+        salt="x",
+    )
+    return s.select("doc_id", "lang")
+
+
+def q_docs_pack_shards(spark, sf_dir):
+    """Token-budget shard packing over the hash-shuffled corpus order:
+    distributed two-phase prefix sum (per-bucket Window + driver-side
+    prefix of n_buckets subtotals) — never a single-partition global
+    Window. Oracle recomputes the global cumsum directly."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("w"))
+    packed = pack_shards(docs, "doc_id", "w", budget=8000, n_buckets=16)
+    return shard_stats(packed)
+
+
 def q_docs_dup_clusters(spark, sf_dir):
     """Pairs → duplicate GROUPS: connected components (large-star/small-star,
     O(log n) rounds) over the exact n-gram-Jaccard pair set, rolled up to
@@ -709,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_pack_shards": q_docs_pack_shards,
         "docs_minhash_neardup": q_docs_minhash_neardup,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1351,6 +1384,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s2
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
+        "docs_sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 10000
+                < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                            WHEN 'zh' THEN 1000 ELSE 7500 END
+        """,
+        "docs_pack_shards": """
+            WITH w AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS wt,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, wt,
+                     coalesce(sum(wt) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM w
+            )
+            SELECT CAST(prev // 8000 AS BIGINT) AS shard_id, count(*) AS n_docs,
+                   CAST(sum(wt) AS BIGINT) AS total_weight
+            FROM c GROUP BY 1
+        """,
         # components via recursive min-reachability (independent algorithm:
         # the Spark side runs large-star/small-star star contraction)
         "docs_dup_clusters": f"""
