@@ -245,3 +245,40 @@ def test_jaccard_checkpoint_bounds_scan_count(spark, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     assert "Scan ExistingRDD" in plan  # the checkpointed prefix feed
+
+
+def test_stratified_sample_is_scan_local(spark, tmp_path):
+    """sample_stratified is a pure row-local filter: no Exchange, no Python
+    eval anywhere — the predicate runs inside the scan stage at any scale."""
+    from gobblin_spark.operators.sampling import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)], "doc_id long, lang string"
+    )
+    path = os.path.join(str(tmp_path), "docs")
+    docs.write.parquet(path)
+    s = sample_stratified(spark.read.parquet(path), "doc_id", "lang", {"en": 5000})
+    plan = _explain(s, "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_shards_single_exchange(spark, tmp_path):
+    """pack_shards' final plan: ONE hash exchange (by hash-range bucket) for
+    the per-bucket Window + a broadcast join of the n_buckets offset rows —
+    never a global single-partition Window (no 'Window' with an empty
+    partition spec riding a SinglePartition exchange)."""
+    from gobblin_spark.operators.sampling import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(500)], "doc_id long, w long"
+    )
+    path = os.path.join(str(tmp_path), "wdocs")
+    docs.write.parquet(path)
+    packed = pack_shards(spark.read.parquet(path), "doc_id", "w", budget=100, n_buckets=8)
+    plan = _explain(packed, "simple")
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    # exactly one data shuffle: the hashpartitioning on _bkt for the Window
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
