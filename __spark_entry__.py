@@ -374,6 +374,32 @@ def q_conv_string_split(spark, sf_dir):
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def q_conv_url_canonical(spark, sf_dir):
+    """URL canonicalization — the key-normalization converter every
+    url-keyed CDC pipeline needs (mixed-case scheme/host, default ports,
+    fragments all map to one upsert key). URLs are synthesized
+    deterministically from events and canonicalized; the oracle replicates
+    both construction and the full normalization expression in DuckDB."""
+    from gobblin_spark.converters import canonicalize_url
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 3000)
+    raw = F.concat(
+        F.when(F.col("user_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Site"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Path/"),
+        (F.col("event_id") % 97).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return (
+        ev.select(canonicalize_url(raw).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_cdc_size_estimator(spark, sf_dir):
     """Per-partition record-size stats feeding batch sizing / salt factor
     (≈ KafkaAvgRecordSizeBasedWorkUnitSizeEstimator, gobblin-modules/
@@ -726,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
         "conv_json_decode": q_conv_json_decode,
+        "conv_url_canonical": q_conv_url_canonical,
         "conv_string_split": q_conv_string_split,
         "extract_html_text": q_extract_html_text,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1230,6 +1257,36 @@ def oracle_sql() -> dict[str, str]:
         "conv_json_decode": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
+        """,
+        "conv_url_canonical": r"""
+            WITH r AS (
+              SELECT (CASE WHEN user_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+                     || 'WWW.Site' || CAST(user_id % 50 AS VARCHAR) || '.Example.COM'
+                     || CASE WHEN user_id % 2 = 0 THEN ':80' ELSE ':443' END
+                     || '/Path/' || CAST(event_id % 97 AS VARCHAR)
+                     || CASE WHEN event_id % 3 = 0 THEN '#Frag' ELSE '' END) AS u
+              FROM events WHERE event_id <= 3000
+            ),
+            p AS (
+              SELECT u,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+                     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) AS rest
+              FROM r
+            ),
+            c AS (
+              SELECT CASE WHEN scheme = '' THEN trim(u) ELSE
+                scheme || '://' ||
+                (CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                        THEN substr(auth, 1, length(auth) - 3)
+                      WHEN scheme = 'https' AND auth LIKE '%:443'
+                        THEN substr(auth, 1, length(auth) - 4)
+                      ELSE auth END) ||
+                (CASE WHEN rest = '' THEN '/' ELSE rest END)
+              END AS url
+              FROM p
+            )
+            SELECT url, count(*) AS n_events FROM c GROUP BY url
         """,
         "conv_string_split": f"""
             SELECT x AS token, count(*) AS n_occurrences

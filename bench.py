@@ -143,19 +143,29 @@ def bench_cdc_replay(
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query timings, BEST OF 2 runs each. One run per query is an
+    unguarded sample on this shared host: the same query measured 52 s in a
+    noise window and 3.6 s warm minutes later (12× swing on single runs,
+    replay medians unaffected — the window was query-local). Min-of-2 bounds
+    a single noise window's damage at one extra run per query; both runs
+    rebuild the plan from scratch (caches cleared between), so the second
+    run is a repeat measurement, not a cache hit."""
     import __spark_entry__ as entry
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # isolate queries: drop caches AND collect Python refs promptly —
-        # localCheckpoint blocks are freed by the ContextCleaner only after
-        # the Python DataFrame is garbage-collected, and letting them pile up
-        # distorts later queries' memory budget
-        spark.catalog.clearCache()
-        gc.collect()
+        samples = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.monotonic() - t0)
+            # isolate runs: drop caches AND collect Python refs promptly —
+            # localCheckpoint blocks are freed by the ContextCleaner only
+            # after the Python DataFrame is garbage-collected, and letting
+            # them pile up distorts later queries' memory budget
+            spark.catalog.clearCache()
+            gc.collect()
+        timings[name] = round(min(samples), 3)
     return timings
 
 

@@ -132,3 +132,52 @@ def row_policy(pred: Column, on_fail: str = "divert"):
     write the diverted side to an errors table. on_fail='abort' callers
     should assert the diverted count is zero before committing."""
     return (lambda df: df.filter(pred)), (lambda df: df.filter(~pred))
+
+
+# ----------------------------------------------------------- URL normalization
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a web URL — the key-normalization step before any
+    per-url dedup/merge in a web-page CDC pipeline (two crawls of
+    ``HTTP://Example.COM:80/a#x`` and ``http://example.com/a`` must upsert
+    the SAME row, or the table silently holds duplicates of every page).
+
+    Deterministic, engine-portable transforms only (regexp_extract + string
+    ops shared by Spark and DuckDB — no backreferences, whose syntax
+    differs between engines; the contract oracle replicates this expression
+    verbatim):
+
+    - scheme and authority (host[:port]) lowercased; path/query untouched
+      (paths are case-sensitive per RFC 3986);
+    - fragment stripped (never sent to the server — two URLs differing only
+      in fragment are the same resource);
+    - default ports removed (``:80`` for http, ``:443`` for https);
+    - empty path normalized to ``/``.
+
+    Inputs not shaped like ``scheme://authority...`` pass through with only
+    whitespace trimmed (garbage in the url column is a quality-gate concern,
+    not a silent rewrite).
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    auth = (
+        F.when(
+            (scheme == "http") & auth.endswith(":80"),
+            F.substring(auth, 1, F.length(auth) - 3),
+        )
+        .when(
+            (scheme == "https") & auth.endswith(":443"),
+            F.substring(auth, 1, F.length(auth) - 4),
+        )
+        .otherwise(auth)
+    )
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), auth, path))
+
+
+def url_canonicalizer(column: str, alias: str | None = None) -> Converter:
+    """Converter-chain wrapper: add/replace the canonical-url column."""
+    return lambda df: df.withColumn(alias or column, canonicalize_url(column))

@@ -180,3 +180,30 @@ def test_multimodal_resize_and_frames(spark):
     got = {r["doc_id"]: r["count"] for r in frames}
     # stub: n_frames = len//64 → doc1: 3 frames → ceil(3/2)=2; doc2: 10 → 5
     assert got == {1: 2, 2: 5}
+
+
+def test_canonicalize_url(spark):
+    from gobblin_spark.converters import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a#x", "http://example.com/a"),
+        ("https://Example.com:443/A/B?q=Mixed#frag", "https://example.com/A/B?q=Mixed"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+        ("http://example.com:443/x", "http://example.com:443/x"),  # 443 not default for http
+        ("  http://a.com/p  ", "http://a.com/p"),
+        ("not a url", "not a url"),  # passthrough, trimmed only
+        ("ftp://Files.example.com/Pub", "ftp://files.example.com/Pub"),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_url_canonicalizer_chain(spark):
+    from gobblin_spark.converters import chain, url_canonicalizer
+
+    df = spark.createDataFrame([("HTTP://A.com:80/x#f",)], "url string")
+    out = chain(df, [url_canonicalizer("url")]).collect()[0]["url"]
+    assert out == "http://a.com/x"
