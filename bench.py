@@ -143,19 +143,24 @@ def bench_cdc_replay(
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Per-query timings, BEST OF 2 runs each. One run per query is an
-    unguarded sample on this shared host: the same query measured 52 s in a
-    noise window and 3.6 s warm minutes later (12× swing on single runs,
-    replay medians unaffected — the window was query-local). Min-of-2 bounds
-    a single noise window's damage at one extra run per query; both runs
-    rebuild the plan from scratch (caches cleared between), so the second
-    run is a repeat measurement, not a cache hit."""
+    """Per-query timings, ADAPTIVE best-of-k (k=2..4). One run per query is
+    an unguarded sample on this shared host: the same query measured 52 s in
+    a noise window and 3.6 s warm minutes later (12× swing on single runs,
+    replay medians unaffected — the window was query-local), and a measured
+    triple on a busy afternoon read [16.6, 4.2, 13.0] s for a query whose
+    quiet-window time is ~3.8 s — min-of-2 can land BOTH samples inside one
+    multi-second noise window. Policy: take 2 samples; while the best two
+    disagree by >35% and the budget (4) isn't spent, sample again. In a
+    quiet window this costs exactly 2 runs; in a noisy one it keeps probing
+    until two independent samples corroborate the recorded minimum. Every
+    run rebuilds the plan from scratch (caches cleared between), so repeats
+    are repeat measurements, not cache hits."""
     import __spark_entry__ as entry
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        samples = []
-        for _ in range(2):
+        samples: list[float] = []
+        while True:
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.monotonic() - t0)
@@ -165,6 +170,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             # them pile up distorts later queries' memory budget
             spark.catalog.clearCache()
             gc.collect()
+            if len(samples) >= 2:
+                best, second = sorted(samples)[:2]
+                if second <= 1.35 * best or len(samples) >= 4:
+                    break
         timings[name] = round(min(samples), 3)
     return timings
 
