@@ -108,7 +108,9 @@ def bench_cdc_replay(
         j0 = _cpu_jiffies()
         t0 = time.monotonic()
         # offsets are global ids here, so the per-batch cap is in offset units
-        results = engine.run(changelog, max_events_per_batch=max(1, n_events // n_batches))
+        # pass the PATH: planning uses parquet footer statistics (metadata-
+        # only watermark discovery) instead of two full scans per replay
+        results = engine.run(changelog_path, max_events_per_batch=max(1, n_events // n_batches))
         apply_sec = time.monotonic() - t0
         j1 = _cpu_jiffies()
         n_applied = sum(r.get("rows_read", 0) for r in results if not r.get("skipped"))

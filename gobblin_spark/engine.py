@@ -31,8 +31,7 @@ from .lake import SnapshotTable
 from .metrics import lineage_entry, observe_batch, observe_updates
 from .planner import (
     OffsetRange,
-    discover_high_watermarks,
-    discover_low_watermarks,
+    discover_watermarks,
     plan_batches,
     range_predicate,
 )
@@ -77,10 +76,12 @@ class CdcEngine:
 
     # ----------------------------------------------------------------- plan
     def plan(
-        self, changelog: DataFrame, max_events_per_batch: int | None = None
+        self,
+        changelog: DataFrame,
+        max_events_per_batch: int | None = None,
+        source_path: str | None = None,
     ) -> list[list[OffsetRange]]:
-        available = discover_high_watermarks(changelog)
-        earliest = discover_low_watermarks(changelog)
+        earliest, available = discover_watermarks(changelog, source_path)
         return plan_batches(
             available,
             self.committed_watermarks(),
@@ -369,9 +370,10 @@ class CdcEngine:
         retried on the next run: its watermarks never advanced."""
         if commit_policy not in ("full", "partial"):
             raise ValueError(f"unknown commit_policy: {commit_policy}")
+        source_path = changelog if isinstance(changelog, str) else None
         if isinstance(changelog, str):
             changelog = self.spark.read.parquet(changelog)
-        batches = self.plan(changelog, max_events_per_batch)
+        batches = self.plan(changelog, max_events_per_batch, source_path=source_path)
         if max_batches is not None:
             batches = batches[:max_batches]
         results: list[dict] = []

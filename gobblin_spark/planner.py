@@ -16,6 +16,7 @@ committed watermarks in the sink's own properties.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -62,6 +63,70 @@ def discover_low_watermarks(changelog: DataFrame) -> dict[int, int]:
         .collect()
     )
     return {int(r["log_partition"]): int(r["low"]) for r in rows}
+
+
+_PART_DIR_RE = re.compile(r"(?:^|/)log_partition=(\d+)/")
+
+
+def footer_watermarks(files: list[str]) -> tuple[dict[int, int], dict[int, int]] | None:
+    """(low, high) watermarks per partition from parquet FOOTER statistics —
+    metadata-only, no Spark job, O(files) driver work. This is the exact
+    analogue of how the reference plans Kafka work units: it asks the broker
+    for earliest/latest offsets (KafkaSource.java getWorkunits — a metadata
+    RPC), it never scans the log. A changelog in ``write_changelog``'s hive
+    layout (``log_partition=N/`` dirs) carries the partition in the path and
+    dense ``log_offset`` min/max in every column chunk's statistics, so the
+    offset window is recoverable from O(files) footer reads — at 10^10
+    events a discovery SCAN is two full passes over the log per plan.
+
+    Returns None (caller falls back to the scan) when any file is outside
+    the hive layout or lacks ``log_offset`` statistics.
+    """
+    import pyarrow.parquet as pq
+
+    lows: dict[int, int] = {}
+    highs: dict[int, int] = {}
+    for uri in files:
+        m = _PART_DIR_RE.search(uri)
+        if not m:
+            return None
+        p = int(m.group(1))
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except (OSError, ValueError):
+            return None
+        try:
+            off_idx = md.schema.names.index("log_offset")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(off_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lows[p] = min(lows.get(p, st.min), st.min)
+            highs[p] = max(highs.get(p, st.max), st.max)
+    return (lows, highs) if highs else None
+
+
+def discover_watermarks(
+    changelog: DataFrame, source_path: str | None = None
+) -> tuple[dict[int, int], dict[int, int]]:
+    """(low, high) available offsets per partition. Footer-statistics fast
+    path when the caller identifies the changelog by PATH (unambiguously the
+    whole log — a filtered DataFrame's ``inputFiles`` would overstate the
+    available range, so a bare DataFrame always takes the scan);
+    distributed double scan otherwise."""
+    if source_path is not None:
+        try:
+            files = changelog.inputFiles()
+        except Exception:  # noqa: BLE001 — non-file relations have no file list
+            files = []
+        if files:
+            fw = footer_watermarks(list(files))
+            if fw is not None:
+                return fw
+    return discover_low_watermarks(changelog), discover_high_watermarks(changelog)
 
 
 def resolve_start_offsets(

@@ -109,9 +109,16 @@ def main() -> None:
     ).parquet(os.path.join(args.workdir, "_warmup"))
 
     t0 = time.monotonic()
-    results = engine.run(changelog, max_events_per_batch=max(1, -(-n_events // args.n_batches)))
+    # pass the PATH: planning then uses parquet footer statistics (metadata-
+    # only watermark discovery, the Kafka-endOffsets analogue) instead of two
+    # full scans of the log
+    results = engine.run(args.changelog, max_events_per_batch=max(1, -(-n_events // args.n_batches)))
     apply_sec = time.monotonic() - t0
 
+    # phase split (diagnostic; batch wall_secs come from the engine metrics):
+    # plan+overhead = loop wall minus the in-batch walls — the part of the
+    # apply loop that is NOT the per-batch dedup/extract/merge job
+    batch_walls = [r.get("wall_sec", 0.0) for r in results if not r.get("skipped")]
     print(
         json.dumps(
             {
@@ -123,6 +130,8 @@ def main() -> None:
                 "events_per_sec": round(n_events / apply_sec, 1),
                 "merge_mode": args.merge_mode,
                 "final_version": table.version,
+                "batch_wall_secs": batch_walls,
+                "plan_overhead_sec": round(apply_sec - sum(batch_walls), 3),
             }
         )
     )

@@ -95,3 +95,79 @@ def test_estimate_partition_stats(spark):
     stats = estimate_partition_stats(df)
     assert set(stats) == {0, 1, 2, 3}
     assert all(v["n_events"] == 25 and v["avg_bytes"] == 10 for v in stats.values())
+
+
+# ------------------------------------------------- footer-stat discovery
+def _mini_changelog(spark, tmp_path, n=500, parts=4):
+    from gobblin_spark.datagen import synth_changelog, write_changelog
+
+    path = str(tmp_path / "changelog")
+    write_changelog(synth_changelog(spark, n, n_partitions=parts), path)
+    return path
+
+
+def test_footer_watermarks_match_scan(spark, tmp_path):
+    """Metadata-only discovery (parquet footer stats, the Kafka-endOffsets
+    analogue) must agree exactly with the distributed double scan."""
+    from gobblin_spark.planner import (
+        discover_high_watermarks,
+        discover_low_watermarks,
+        discover_watermarks,
+        footer_watermarks,
+    )
+
+    path = _mini_changelog(spark, tmp_path)
+    df = spark.read.parquet(path)
+    lows_scan = discover_low_watermarks(df)
+    highs_scan = discover_high_watermarks(df)
+
+    fw = footer_watermarks(list(df.inputFiles()))
+    assert fw is not None, "hive-layout changelog must take the footer path"
+    assert fw == (lows_scan, highs_scan)
+
+    # the combined entrypoint: footer path only when a source path is named
+    assert discover_watermarks(df, source_path=path) == (lows_scan, highs_scan)
+    assert discover_watermarks(df) == (lows_scan, highs_scan)  # scan fallback
+
+
+def test_footer_watermarks_refuse_non_hive_layout(spark, tmp_path):
+    """A changelog written without the log_partition= layout cannot resolve
+    partitions from paths — footer path declines, scan fallback answers."""
+    from gobblin_spark.datagen import synth_changelog
+    from gobblin_spark.planner import discover_watermarks, footer_watermarks
+
+    path = str(tmp_path / "flat")
+    synth_changelog(spark, 300, n_partitions=3).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    assert footer_watermarks(list(df.inputFiles())) is None
+    lows, highs = discover_watermarks(df, source_path=path)  # falls back
+    assert set(lows) == set(highs) == {0, 1, 2}
+
+
+def test_engine_run_by_path_equals_run_by_dataframe(spark, tmp_path):
+    """Planning from footer stats must replay to the identical table state
+    as planning from the scan (same batches, same fenced commits)."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+    from pyspark.sql import types as T
+
+    path = _mini_changelog(spark, tmp_path, n=800, parts=4)
+    df = spark.read.parquet(path)
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in df.schema.fields if f.name not in meta])
+
+    finals = []
+    for tag, arg in (("bypath", path), ("bydf", df)):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / f"tbl_{tag}"), schema, key="url", n_buckets=4
+        )
+        CdcEngine(spark, t, job_id=tag, extract=False).run(
+            arg, max_events_per_batch=300
+        )
+        finals.append(
+            sorted(
+                (r["url"], r["warc_ts"], r["content_length"])
+                for r in t.read().collect()
+            )
+        )
+    assert finals[0] == finals[1] and len(finals[0]) > 0
