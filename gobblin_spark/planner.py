@@ -319,6 +319,38 @@ def estimate_partition_stats(df, partition_col: str = "log_partition", size_expr
     }
 
 
+def footer_partition_stats(files: list[str]) -> dict[int, dict] | None:
+    """``estimate_partition_stats`` from parquet FOOTERS — exact row counts
+    and on-disk byte sizes per partition with zero data read, O(files)
+    driver work (same discipline as ``footer_watermarks``; the reference's
+    size estimators likewise work from broker/stats metadata, not scans —
+    KafkaAvgRecordSizeBasedWorkUnitSizeEstimator). ``total_bytes`` here is
+    the COMPRESSED on-disk size (what a work-unit packer actually balances
+    when the unit of work is "read these files"), unlike the scan variant's
+    decoded ``octet_length(html)``. Returns None outside the hive layout."""
+    import pyarrow.parquet as pq
+
+    stats: dict[int, dict] = {}
+    for uri in files:
+        m = _PART_DIR_RE.search(uri)
+        if not m:
+            return None
+        p = int(m.group(1))
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except (OSError, ValueError):
+            return None
+        s = stats.setdefault(p, {"n_events": 0, "total_bytes": 0})
+        s["n_events"] += md.num_rows
+        s["total_bytes"] += sum(
+            md.row_group(rg).total_byte_size for rg in range(md.num_row_groups)
+        )
+    for s in stats.values():
+        s["avg_bytes"] = s["total_bytes"] // max(1, s["n_events"])
+    return stats or None
+
+
 def range_predicate(ranges: list[OffsetRange]):
     """Pushdown-friendly filter: partition pruning on log_partition (a hive
     partition column of the changelog) + offset row-group skipping via parquet

@@ -171,3 +171,23 @@ def test_engine_run_by_path_equals_run_by_dataframe(spark, tmp_path):
             )
         )
     assert finals[0] == finals[1] and len(finals[0]) > 0
+
+
+def test_footer_partition_stats_counts_match_scan(spark, tmp_path):
+    """Footer-derived per-partition event counts must equal the scan's; byte
+    sizes are the compressed on-disk truth (> 0, roughly proportional)."""
+    from gobblin_spark.planner import estimate_partition_stats, footer_partition_stats
+
+    path = _mini_changelog(spark, tmp_path, n=600, parts=3)
+    df = spark.read.parquet(path)
+    scan = estimate_partition_stats(df)
+    foot = footer_partition_stats(list(df.inputFiles()))
+    assert foot is not None
+    assert set(foot) == set(scan)
+    for p in scan:
+        assert foot[p]["n_events"] == scan[p]["n_events"]
+        assert foot[p]["total_bytes"] > 0 and foot[p]["avg_bytes"] > 0
+    # non-hive layout declines
+    flat = str(tmp_path / "flat2")
+    df.write.mode("overwrite").parquet(flat)
+    assert footer_partition_stats(list(spark.read.parquet(flat).inputFiles())) is None
