@@ -5,13 +5,31 @@ run at two parallelism levels — ``local[N]`` and ``local[4N]`` — via
 ``spark-submit --py-files`` on the identical pre-generated input, and
 scaling efficiency = (rate_4N / rate_N) / 4 is reported.
 
-Usage:  python scripts/scaling_bench.py [--events 400000] [--n 8]
+Estimator policy (round-4 revision, from the round-3 audit):
+
+- The PASS/FAIL criterion is the **paired median**: each round runs N and 4N
+  back-to-back (alternating order), yielding one efficiency sample per round;
+  the headline is the median of those samples. A pooled-floor estimator can
+  be driven upward by sampling until a lucky minimum appears; the paired
+  median cannot.
+- The pooled FLOOR — (min_N / min_4N) / 4 over all recorded runs — is
+  reported as supplementary evidence only, and only counts as CORROBORATED
+  when each level's minimum is within ``FLOOR_TOL`` (10%) of the second-best
+  run from a *different* round or session. An uncorroborated floor is
+  labelled as such and never flips PASS.
+- Every run carries provenance: ``session`` id, ``round`` index, and the git
+  SHA of the code that produced it. ``--pool-json`` dedupes runs by
+  (session, level, index) and refuses to pool sessions recorded under a
+  different git SHA or config.
+
+Usage:  python scripts/scaling_bench.py [--events 10000000] [--n 1]
 Writes results JSON to stdout and BENCH.md at the repo root.
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import os
 import shutil
@@ -22,6 +40,27 @@ import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOOR_TOL = 0.10  # floor corroboration tolerance (fraction of the minimum)
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -101,6 +140,42 @@ def run_level(cores: int, changelog: str, workdir: str, zpath: str, n_batches: i
     raise RuntimeError(f"no result line from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def _timed_run(cores, changelog, workdir, zpath, args, n_buckets, session, rnd) -> dict:
+    la0 = _loadavg()
+    j0 = _cpu_jiffies()
+    r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode)
+    j1 = _cpu_jiffies()
+    dt = max(1, j1[1] - j0[1])
+    r["steal_frac"] = round((j1[0] - j0[0]) / dt, 4)
+    r["loadavg_pre"] = la0
+    r["session"] = session
+    r["round"] = rnd
+    return r
+
+
+def _floor_corroboration(runs: list[dict], key: str = "apply_sec") -> dict:
+    """Is the level's minimum within FLOOR_TOL of the next-best run from a
+    DIFFERENT (session, round)? A floor visited once is an anecdote; a floor
+    approached independently is an order statistic."""
+    if not runs:
+        return {"corroborated": False}
+    best = min(runs, key=lambda r: r[key])
+    others = [
+        r[key]
+        for r in runs
+        if (r.get("session"), r.get("round")) != (best.get("session"), best.get("round"))
+    ]
+    if not others:
+        return {"min": best[key], "corroborated": False, "next_best": None}
+    nxt = min(others)
+    return {
+        "min": best[key],
+        "next_best": nxt,
+        "gap_frac": round(nxt / best[key] - 1.0, 4),
+        "corroborated": nxt <= best[key] * (1 + FLOOR_TOL),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=10_000_000)
@@ -113,29 +188,25 @@ def main() -> None:
         default=None,
         help="table layout buckets; default sizes each bucket to ~256MB of rows",
     )
-    ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument(
-        "--extra-large",
-        type=int,
-        default=2,
-        help="extra 4N-level runs after the paired rounds: the 4N floor is "
-        "the noise-sensitive one (shorter runs, more bus-contention exposure "
-        "per unit work) and each extra sample costs ~1/4 of an N run",
-    )
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--pool-json",
         nargs="*",
         default=[],
         help="prior result JSONs (this script's stdout) from earlier sessions "
-        "of the SAME config (events/batches/mode/n): their per-level run "
-        "lists are merged into the floor estimate. Pooling more time windows "
-        "is strictly more sample for an order-statistic estimator — the "
-        "floor only tightens; it never rides a single lucky window more than "
-        "the per-session floor already does.",
+        "of the SAME config AND git SHA: their per-run records are merged "
+        "into the supplementary floor estimate, deduped by (session, level, "
+        "index). Pooling never changes the PASS criterion (paired median of "
+        "THIS session).",
     )
     ap.add_argument("--merge-mode", choices=("rewrite", "delta"), default="rewrite")
+    ap.add_argument("--session", default=None, help="session id (default: UTC timestamp)")
     args = ap.parse_args()
 
+    session = args.session or datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H-%M"
+    )
+    sha = _git_sha()
     workdir = tempfile.mkdtemp(prefix="gobblin-scaling-")
     try:
         zpath = build_pyfiles_zip(workdir)
@@ -144,19 +215,13 @@ def main() -> None:
         # bucket sizing: ~1.2KB/row expanded; target ~256MB of row data per
         # bucket so the per-bucket LWW sort + merge stays in memory
         n_buckets = args.n_buckets or min(4096, max(32, (args.events * 1200) // (256 << 20)))
-        # Noise policy, written down (VERDICT r2 #7). This shared host drifts
-        # by 2x across minutes (steal windows + cache warming — measured: 4
-        # back-to-back identical runs went 108s -> 78s -> 51s -> 44s), so
-        # per-level medians taken minutes apart bias the RATIO even when each
-        # level's median is individually robust. Estimator: PAIRED ROUNDS.
-        # One untimed warm-up run is discarded; then each round runs N and 4N
-        # BACK-TO-BACK (temporally adjacent, so a noise window hits both
-        # sides of that round's ratio), each round yields one efficiency
-        # sample, and the headline is the MEDIAN of per-round efficiencies.
-        # Round order alternates ((N,4N), (4N,N), ...) so any monotone
-        # warming/cooling trend cancels across rounds instead of favoring
-        # one level. Every run's wall time and /proc/stat steal fraction are
-        # reported next to the headline.
+        # Noise policy (round-3 audit): this shared host's co-tenant noise is
+        # one-sided and heavy-tailed, so sampling is PAIRED — each round runs
+        # N and 4N back-to-back (a noise window hits both sides of that
+        # round's ratio), round order alternates so monotone drift cancels,
+        # and one untimed warm-up run is discarded. The PASS criterion is the
+        # median of per-round efficiencies; per-run wall, steal fraction and
+        # loadavg are all recorded.
         run_level(  # discarded warm-up (page cache, JIT-ish fixed costs)
             args.n, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode
         )
@@ -166,11 +231,7 @@ def main() -> None:
             order = (args.n, 4 * args.n) if i % 2 == 0 else (4 * args.n, args.n)
             sample: dict[int, dict] = {}
             for cores in order:
-                j0 = _cpu_jiffies()
-                r = run_level(cores, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode)
-                j1 = _cpu_jiffies()
-                dt = max(1, j1[1] - j0[1])
-                r["steal_frac"] = round((j1[0] - j0[0]) / dt, 4)
+                r = _timed_run(cores, changelog, workdir, zpath, args, n_buckets, session, i)
                 sample[cores] = r
                 per_level[cores].append(r)
             eff_i = (sample[args.n]["apply_sec"] / sample[4 * args.n]["apply_sec"]) / 4.0
@@ -181,39 +242,23 @@ def main() -> None:
                     "sec_4n": sample[4 * args.n]["apply_sec"],
                     "steal_n": sample[args.n]["steal_frac"],
                     "steal_4n": sample[4 * args.n]["steal_frac"],
+                    "loadavg_n": sample[args.n]["loadavg_pre"],
+                    "loadavg_4n": sample[4 * args.n]["loadavg_pre"],
                     "efficiency": round(eff_i, 3),
                 }
             )
 
-        # Extra 4N samples tighten the noisier floor (see --extra-large help)
-        for _ in range(max(0, args.extra_large)):
-            j0 = _cpu_jiffies()
-            r = run_level(
-                4 * args.n, changelog, workdir, zpath, args.n_batches, args.mem_gb, n_buckets, args.merge_mode
-            )
-            j1 = _cpu_jiffies()
-            dt = max(1, j1[1] - j0[1])
-            r["steal_frac"] = round((j1[0] - j0[0]) / dt, 4)
-            per_level[4 * args.n].append(r)
-
         effs = sorted(r["efficiency"] for r in rounds)
         eff_median = statistics.median(effs)
-        # FLOOR estimator — the headline. Contention on a shared host is
-        # strictly additive (a co-tenant can only SLOW a run, never speed it
-        # up), so the per-level minimum over k runs is a consistent estimator
-        # of the uncontended wall time: it converges to the true floor from
-        # above as k grows (the same reason timeit's docs tell you to take
-        # min(repeat(...)), not the mean). The paired median is reported next
-        # to it as the conservative in-situ bound, but it is BIASED for the
-        # quantity the criterion is about: one-sided heavy-tailed noise
-        # inflates the 4N level ~3x more than N (measured: the same local[4]
-        # binary+input ran 62.8 s and 182.5 s twenty minutes apart while
-        # local[1] moved 195→260 s), and on the deployment target — separate
-        # machines per cluster size, each with its own memory bus — the
-        # contention term being median-ed over does not exist.
-        pool_runs: dict[int, list[float]] = {args.n: [], 4 * args.n: []}
-        pool_steals: dict[int, list[float]] = {args.n: [], 4 * args.n: []}
-        pooled_sessions = 0
+
+        # ----- supplementary pooled floor, provenance-deduped ---------------
+        pool: dict[int, list[dict]] = {c: list(per_level[c]) for c in per_level}
+        seen: set[tuple] = {
+            (r["session"], c, i)
+            for c, runs in per_level.items()
+            for i, r in enumerate(runs)
+        }
+        pooled_sessions = []
         for path in args.pool_json:
             with open(path) as f:
                 prior = json.load(f)
@@ -221,56 +266,81 @@ def main() -> None:
                 prior.get("n_events") != args.events
                 or prior.get("n_batches") != args.n_batches
                 or prior.get("merge_mode") != args.merge_mode
-                or sorted(int(k) for k in prior["levels"]) != sorted(pool_runs)
+                or sorted(int(k) for k in prior["levels"]) != sorted(pool)
             ):
                 raise SystemExit(f"--pool-json {path}: config mismatch, refusing to pool")
-            for cores in pool_runs:
-                lvl = prior["levels"][str(cores)]
-                pool_runs[cores].extend(lvl["runs_sec"])
-                pool_steals[cores].extend(lvl["steal_fracs"])
-            pooled_sessions += 1
-        for cores in pool_runs:
-            pool_runs[cores].extend(x["apply_sec"] for x in per_level[cores])
-            pool_steals[cores].extend(x["steal_frac"] for x in per_level[cores])
+            if prior.get("git_sha") != sha:
+                raise SystemExit(
+                    f"--pool-json {path}: git SHA {prior.get('git_sha')} != {sha} "
+                    "(different code revision), refusing to pool"
+                )
+            psess = prior.get("session", os.path.basename(path))
+            for cores in pool:
+                for i, rec in enumerate(prior["levels"][str(cores)]["runs"]):
+                    key = (rec.get("session", psess), cores, rec.get("index", i))
+                    if key in seen:
+                        continue  # dedupe: a run pooled twice is one run
+                    seen.add(key)
+                    pool[cores].append(rec)
+            if psess not in pooled_sessions:
+                pooled_sessions.append(psess)
 
-        floor_n = min(pool_runs[args.n])
-        floor_4n = min(pool_runs[4 * args.n])
-        eff = (floor_n / floor_4n) / 4.0
+        floor_n = _floor_corroboration(pool[args.n])
+        floor_4n = _floor_corroboration(pool[4 * args.n])
+        eff_floor = (floor_n["min"] / floor_4n["min"]) / 4.0
+        floor_corroborated = floor_n["corroborated"] and floor_4n["corroborated"]
+
         levels = {}
-        for cores, runs in per_level.items():
-            times = sorted(pool_runs[cores])
+        for cores, runs in pool.items():
+            times = sorted(r["apply_sec"] for r in runs)
             med = statistics.median(times)
-            rep = min(runs, key=lambda x: abs(x["apply_sec"] - med))
             levels[cores] = {
-                **rep,
                 "apply_sec": round(med, 3),
                 "events_per_sec": round(args.events / med, 1),
-                "runs_sec": [round(t, 3) for t in pool_runs[cores]],
-                "steal_fracs": pool_steals[cores],
+                "runs_sec": [round(t, 3) for t in times],
+                "runs": [
+                    {
+                        "apply_sec": r["apply_sec"],
+                        "steal_frac": r.get("steal_frac"),
+                        "loadavg_pre": r.get("loadavg_pre"),
+                        "session": r.get("session"),
+                        "round": r.get("round"),
+                        "index": i,
+                    }
+                    for i, r in enumerate(runs)
+                ],
                 "spread": round((times[-1] - times[0]) / med, 3),
             }
 
         result = {
+            "session": session,
+            "git_sha": sha,
             "n_events": args.events,
             "n_batches": args.n_batches,
             "merge_mode": args.merge_mode,
             "levels": levels,
             "rounds": rounds,
-            "scaling_efficiency": round(eff, 3),
-            "floor_sec": {"n": floor_n, "4n": floor_4n},
-            "pooled_sessions": pooled_sessions + 1,
-            "pooled_runs": {str(c): len(v) for c, v in pool_runs.items()},
-            "scaling_efficiency_paired_median": round(eff_median, 3),
+            # the criterion: paired median of THIS session's rounds
+            "scaling_efficiency": round(eff_median, 3),
             "efficiency_spread": [effs[0], effs[-1]],
-            "criterion": ">=0.8",
-            "passes": eff >= 0.8,
+            "criterion": ">=0.8 (paired median of back-to-back rounds)",
+            "passes": eff_median >= 0.8,
+            # supplementary: pooled floor + its corroboration status
+            "floor": {
+                "efficiency": round(eff_floor, 3),
+                "n": floor_n,
+                "4n": floor_4n,
+                "corroborated": floor_corroborated,
+                "pooled_sessions": [session] + pooled_sessions,
+                "pooled_runs": {str(c): len(v) for c, v in pool.items()},
+            },
             "estimator": (
-                "floor: (min_N / min_4N) / 4 over all recorded runs (minimum "
-                "is a consistent estimator of uncontended wall time under "
-                "strictly-additive shared-host noise); paired-median of "
-                f"{args.repeats} alternating back-to-back rounds reported "
-                "alongside as the conservative in-situ bound; one discarded "
-                "warm-up run"
+                "criterion = median of per-round back-to-back N/4N efficiency "
+                f"samples ({args.repeats} alternating rounds, one discarded "
+                "warm-up); pooled floor (min_N/min_4N)/4 reported as "
+                "supplementary only, corroborated iff each level's minimum is "
+                f"within {int(FLOOR_TOL * 100)}% of the next-best run from an "
+                "independent round/session"
             ),
         }
         print(json.dumps(result))
@@ -282,6 +352,8 @@ def main() -> None:
 def write_bench_md(result: dict, args) -> None:
     small_c, large_c = args.n, 4 * args.n
     s, l = result["levels"][small_c], result["levels"][large_c]
+    fl = result["floor"]
+    corrob = "CORROBORATED" if fl["corroborated"] else "NOT corroborated (informational only)"
     md = f"""# BENCH — two-cluster-size scaling evidence
 
 North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
@@ -290,62 +362,55 @@ identical pre-generated input ran at two parallelism levels via
 `spark-submit --py-files gobblin_spark.zip scripts/replay_job.py`
 (see scripts/scaling_bench.py; job is master-agnostic).
 
+Session `{result["session"]}`, code `{result["git_sha"]}`.
 Input: {result["n_events"]:,} synthetic change events (deterministic, distributed
 generation — gobblin_spark/datagen.py), 32 log partitions, replayed in
 {result["n_batches"]} fenced batches (plan → LWW dedup → vectorized text
 extraction → {result["merge_mode"]} MERGE → checkpoint commit).
 
-| cluster size | floor wall sec (min of k) | floor events/sec | all runs (sec) | steal fracs | median sec |
+## Criterion: paired rounds (back-to-back N/4N, alternating order)
+
+| round | order | sec @N | sec @4N | steal @N | steal @4N | load @N | load @4N | efficiency |
+|---|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i} | {r['order']} | {r['sec_n']} | {r['sec_4n']} | {r['steal_n']} | {r['steal_4n']} | {r.get('loadavg_n', '—')} | {r.get('loadavg_4n', '—')} | {r['efficiency']} |" for i, r in enumerate(result["rounds"]))}
+
+**Scaling efficiency (paired median) = {result["scaling_efficiency"]}**
+(criterion >= 0.8: {"PASS" if result["passes"] else "FAIL"}; per-round spread
+{result["efficiency_spread"]}). Each round's N and 4N runs are temporally
+adjacent, so a shared-host noise window hits both sides of that round's
+ratio; order alternates so monotone drift cancels; one warm-up discarded.
+
+## Supplementary: pooled floor ({corrob})
+
+| cluster size | floor wall sec | next-best (independent pair) | gap | median sec | all runs (sec) |
 |---|---|---|---|---|---|
-| local[{small_c}] (N) | {result["floor_sec"]["n"]} | {result["n_events"] / result["floor_sec"]["n"]:,.1f} | {s["runs_sec"]} | {s["steal_fracs"]} | {s["apply_sec"]} |
-| local[{large_c}] (4N) | {result["floor_sec"]["4n"]} | {result["n_events"] / result["floor_sec"]["4n"]:,.1f} | {l["runs_sec"]} | {l["steal_fracs"]} | {l["apply_sec"]} |
+| local[{small_c}] (N) | {fl["n"]["min"]} | {fl["n"].get("next_best")} | {fl["n"].get("gap_frac", "—")} | {s["apply_sec"]} | {s["runs_sec"]} |
+| local[{large_c}] (4N) | {fl["4n"]["min"]} | {fl["4n"].get("next_best")} | {fl["4n"].get("gap_frac", "—")} | {l["apply_sec"]} | {l["runs_sec"]} |
 
-Per-round samples (each row = one back-to-back N/4N pair; the 4N run list
-above additionally contains {len(l["runs_sec"]) - len(result["rounds"])} extra floor-tightening runs):
+Pooled floor efficiency = (min_N / min_4N) / 4 = {fl["efficiency"]} over
+{len(fl["pooled_sessions"])} session(s) ({", ".join(fl["pooled_sessions"])}),
+{fl["pooled_runs"][str(small_c)]} unique runs at N /
+{fl["pooled_runs"][str(large_c)]} at 4N (provenance-deduped by
+(session, level, index); pooling refuses config or git-SHA mismatches).
+The floor is a consistent estimator of the uncontended wall time under
+strictly-additive one-sided noise, but it counts as evidence only when each
+level's minimum is independently approached: within {int(FLOOR_TOL * 100)}%
+by a run from a different round or session. It never decides PASS/FAIL.
 
-| round | order | sec @N | sec @4N | steal @N | steal @4N | efficiency |
-|---|---|---|---|---|---|---|
-{chr(10).join(f"| {i} | {r['order']} | {r['sec_n']} | {r['sec_4n']} | {r['steal_n']} | {r['steal_4n']} | {r['efficiency']} |" for i, r in enumerate(result["rounds"]))}
+Per-run steal fractions and pre-run loadavg are recorded in the session JSON
+(`bench_sessions/`). Note steal misses pure memory-bus contention: runs with
+near-zero steal can still carry co-tenant bandwidth pressure, which is why
+the criterion is paired rather than per-level.
 
-**Scaling efficiency (floor estimator) = (min_N / min_4N) / 4 =
-{result["scaling_efficiency"]}** (criterion >= 0.8:
-{"PASS" if result["passes"] else "FAIL"}); paired-median companion (this
-session only) = {result["scaling_efficiency_paired_median"]} (per-round
-spread {result["efficiency_spread"]}). Floor pooled over
-{result["pooled_sessions"]} session(s) of the identical job+input:
-{result["pooled_runs"][str(small_c)]} runs at N,
-{result["pooled_runs"][str(large_c)]} runs at 4N (all listed above).
-
-Measurement protocol (noise policy, written down): this VM is a shared host
-whose co-tenant contention is ONE-SIDED (a neighbor can only slow a run),
-HEAVY-TAILED (the identical local[{large_c}] binary+input measured 62.8 s
-and 182.5 s twenty minutes apart), and ASYMMETRIC across levels (the
-{large_c}-thread level queues on the shared memory bus ~3x harder than the
-{small_c}-thread level, so noise systematically deflates the measured
-ratio). Under strictly-additive noise the per-level MINIMUM over k runs is
-a consistent estimator of the uncontended wall time — it converges to the
-true floor from above as k grows (the same reason timeit documentation says
-to take min(repeat(...))), and the uncontended ratio is the quantity the
-criterion is about: on the deployment target N and 4N are separate machines
-with their own memory buses, so the contention term does not exist there.
-Sampling is still PAIRED and alternating ((N,4N), (4N,N), ...) with one
-discarded warm-up, and the paired MEDIAN — the conservative in-situ bound,
-biased downward by the asymmetry above — is reported next to the floor.
-Every run's wall time and /proc/stat steal fraction are in the tables above
-(note steal misses pure memory-bus contention: round samples with near-zero
-steal still show 2x wall spread at 4N).
-
-Commit mode: **{result["merge_mode"]}** (merge-on-read generation appends) — the
-sustained-ingest configuration at 10^10 events; rewrite mode measured 0.93
-in round 1 under the best-of protocol.
+Commit mode: **{result["merge_mode"]}** — the sustained-ingest configuration
+at 10^10 events.
 
 Levels above 8 threads hit the VM's measured memory-bandwidth ceiling
-(71.7 GB/s peak at 8 procs, 46.6 at 16 — scripts/membw_probe.py) and
-anti-scale for hardware reasons; N={small_c} vs 4N={large_c} stays inside
-the linear region of this single box. On a real multi-executor cluster each
-executor brings its own memory bus and local disks, which is why the job is
-shipped exactly as the north rule states (spark-submit --py-files,
-master-agnostic) rather than tuned to local mode.
+(scripts/membw_probe.py) and anti-scale for hardware reasons; N={small_c} vs
+4N={large_c} stays inside the linear region of this single box. On a real
+multi-executor cluster each executor brings its own memory bus and local
+disks, which is why the job is shipped exactly as the north rule states
+(spark-submit --py-files, master-agnostic) rather than tuned to local mode.
 
 Reproduce: `python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n} \\
     --merge-mode {result["merge_mode"]} --repeats {args.repeats}`

@@ -187,6 +187,17 @@ def test_footer_partition_stats_counts_match_scan(spark, tmp_path):
     for p in scan:
         assert foot[p]["n_events"] == scan[p]["n_events"]
         assert foot[p]["total_bytes"] > 0 and foot[p]["avg_bytes"] > 0
+    # "compressed on-disk bytes" must mean exactly that: the summed chunk
+    # sizes can never exceed the physical file sizes (footer/magic overhead
+    # sits outside the chunks), and must account for most of them
+    import os
+
+    disk = sum(
+        os.path.getsize(f.replace("file://", "")) for f in df.inputFiles()
+    )
+    footed = sum(s["total_bytes"] for s in foot.values())
+    assert 0 < footed <= disk
+    assert footed >= 0.5 * disk, "chunk bytes should dominate file bytes"
     # non-hive layout declines
     flat = str(tmp_path / "flat2")
     df.write.mode("overwrite").parquet(flat)
