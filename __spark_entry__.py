@@ -338,6 +338,55 @@ def q_cdc_changes_between(spark, sf_dir):
     )
 
 
+def q_cdc_changes_per_commit(spark, sf_dir):
+    """Per-COMMIT changelog granularity (round-3 verdict next #10 — the
+    Iceberg changelog-view carry-over shape): a 3-commit window (v1 = events
+    ≤ 5000, v2 += ≤ 8000, v3 += rest) read back with
+    ``changes_between(1, 3, granularity='per_commit')`` — every key surfaces
+    once per commit that changed it, tagged with the commit version, instead
+    of one net v1→v3 row. The DuckDB oracle recomputes all three LWW states
+    with window functions and classifies each consecutive pair
+    independently."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+
+    def batch(pred):
+        d = lww_latest(ev.filter(pred), ["user_id"], ["ts", "event_id"])
+        return d.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            "props",
+            "event_id",
+            F.col("ts").alias("_version_ts"),
+            F.col("event_id").alias("_version_off"),
+            (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
+        )
+
+    b1 = batch(F.col("event_id") <= 5000)
+    hidden = {"_version_ts", "_version_off", "_deleted"}
+    schema = T.StructType([f for f in b1.schema.fields if f.name not in hidden])
+    root = tempfile.mkdtemp(prefix="changes-per-commit-")
+    t = SnapshotTable.create(spark, f"{root}/t", schema, key="user_id", n_buckets=8)
+    t.merge(b1)
+    t.merge(batch((F.col("event_id") > 5000) & (F.col("event_id") <= 8000)), mode="delta")
+    t.merge(batch(F.col("event_id") > 8000), mode="delta")
+    ch = t.changes_between(1, 3, granularity="per_commit")
+    return ch.select(
+        "user_id",
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_completeness_gate(spark, sf_dir):
     """Audit-count completeness gate (≈ CompletenessWatermarkUpdater /
     AuditCountClient): per-partition applied-vs-expected counts with the
@@ -529,11 +578,14 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """REAL image decode end-to-end: deterministic closed-form images are
-    encoded as genuine P6 PPM (even ids) / 24-bit BMP (odd ids) bytes, then
-    ``extract_features`` parses the actual pixel data back out with the
-    stdlib codecs. The DuckDB oracle recomputes width/height/channel sums
-    symbolically from the synth closed form — any decode bug (row padding,
-    BGR order, header parse) breaks the value hash."""
+    encoded as genuine P6 PPM / 24-bit BMP / PNG bytes (rotating by
+    doc_id % 3; PNG via the pure-stdlib zlib+filters codec, alternating
+    None/Up row filters), then ``extract_features`` parses the actual pixel
+    data back out with the stdlib codecs. The DuckDB oracle recomputes
+    width/height/channel sums symbolically from the synth closed form —
+    it is format-blind, so a decode bug in ANY of the three codecs (row
+    padding, BGR order, scanline unfilter, inflate framing) breaks the
+    value hash."""
     docs = _docs(spark, sf_dir)
     payloads = synth_image_payloads(docs, fmt="mixed")
     feats = extract_features(payloads)
@@ -549,14 +601,15 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """REAL decode→resize→re-encode→re-decode chain: synth PPM → nearest-
-    neighbor resample to 4×3 (floor index map src = out·src_dim // out_dim)
-    → P6 re-encode → ``image_stats`` decodes the OUTPUT payload and reports
-    its pixel sum. The oracle applies the same NN index map to the closed
-    form, so both the resample math and both codec directions are
+    """REAL decode→resize→re-encode→re-decode chain over ALL THREE stdlib
+    codecs (PPM/BMP/PNG rotating by id): nearest-neighbor resample to 4×3
+    (floor index map src = out·src_dim // out_dim) → re-encode in the same
+    format → ``image_stats`` decodes the OUTPUT payload and reports its
+    pixel sum. The oracle applies the same NN index map to the closed form,
+    so the resample math and both directions of every codec are
     value-checked."""
     docs = _docs(spark, sf_dir)
-    payloads = synth_image_payloads(docs, fmt="ppm")
+    payloads = synth_image_payloads(docs, fmt="mixed")
     resized = resize_images(payloads, width=4, height=3)
     return image_stats(resized, passthrough=["doc_id"], bin_col="payload")
 
@@ -748,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_retention_filter": q_cdc_retention_filter,
         "cdc_completeness_gate": q_cdc_completeness_gate,
         "cdc_changes_between": q_cdc_changes_between,
+        "cdc_changes_per_commit": q_cdc_changes_per_commit,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1225,6 +1279,67 @@ def oracle_sql() -> dict[str, str]:
               FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
             )
             SELECT * FROM cl WHERE change_type IS NOT NULL
+        """,
+        "cdc_changes_per_commit": f"""
+            WITH
+            s1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id <= 5000
+              ) WHERE rn = 1
+            ),
+            s2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id <= 8000
+              ) WHERE rn = 1
+            ),
+            s3 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            d12 AS (
+              SELECT s2.user_id, 2 AS commit_version,
+                     CASE
+                       WHEN (s1.user_id IS NULL OR s1.event_type = '{DELETE_TYPE}')
+                            AND s2.event_type <> '{DELETE_TYPE}' THEN 'insert'
+                       WHEN s1.event_type <> '{DELETE_TYPE}'
+                            AND s2.event_type = '{DELETE_TYPE}' THEN 'delete'
+                       WHEN s1.event_type <> '{DELETE_TYPE}'
+                            AND s2.event_type <> '{DELETE_TYPE}'
+                            AND s1.event_id <> s2.event_id THEN 'update'
+                     END AS change_type,
+                     CASE WHEN s2.event_type = '{DELETE_TYPE}'
+                          THEN s1.event_id ELSE s2.event_id END AS last_event_id,
+                     CASE WHEN s2.event_type = '{DELETE_TYPE}'
+                          THEN s1.value ELSE s2.value END AS last_value
+              FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+            ),
+            d23 AS (
+              SELECT s3.user_id, 3 AS commit_version,
+                     CASE
+                       WHEN (s2.user_id IS NULL OR s2.event_type = '{DELETE_TYPE}')
+                            AND s3.event_type <> '{DELETE_TYPE}' THEN 'insert'
+                       WHEN s2.event_type <> '{DELETE_TYPE}'
+                            AND s3.event_type = '{DELETE_TYPE}' THEN 'delete'
+                       WHEN s2.event_type <> '{DELETE_TYPE}'
+                            AND s3.event_type <> '{DELETE_TYPE}'
+                            AND s2.event_id <> s3.event_id THEN 'update'
+                     END AS change_type,
+                     CASE WHEN s3.event_type = '{DELETE_TYPE}'
+                          THEN s2.event_id ELSE s3.event_id END AS last_event_id,
+                     CASE WHEN s3.event_type = '{DELETE_TYPE}'
+                          THEN s2.value ELSE s3.value END AS last_value
+              FROM s3 LEFT JOIN s2 ON s2.user_id = s3.user_id
+            )
+            SELECT * FROM d12 WHERE change_type IS NOT NULL
+            UNION ALL
+            SELECT * FROM d23 WHERE change_type IS NOT NULL
         """,
         "cdc_completeness_gate": """
             WITH a AS (

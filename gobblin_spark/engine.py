@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 from .dedup import lww_latest
 from .extract import extract_text_udf
 from .lake import SnapshotTable
-from .metrics import lineage_entry, observe_batch, observe_updates
+from .metrics import (
+    StatsTracker,
+    batch_rates,
+    lineage_entry,
+    observe_batch,
+    observe_updates,
+    partition_lag,
+)
 from .planner import (
     OffsetRange,
     discover_watermarks,
@@ -52,6 +59,7 @@ class CdcEngine:
         extract: bool = True,
         reset_policy: str = "error",
         merge_mode: str = "rewrite",
+        stats: StatsTracker | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -59,6 +67,11 @@ class CdcEngine:
         self.job_id = job_id
         self.errors_path = errors_path
         self.extract = extract
+        # operational stats: per-batch rates + lag, pluggable reporters
+        # fired once per commit (None = still tracked, just not exported)
+        self.stats = stats or StatsTracker()
+        # available high watermarks from the last plan — the lag baseline
+        self._last_available: dict[int, int] | None = None
         # how to resume when the committed watermark falls outside the
         # changelog's available offset window (truncation / retention expiry)
         self.reset_policy = reset_policy
@@ -82,6 +95,7 @@ class CdcEngine:
         source_path: str | None = None,
     ) -> list[list[OffsetRange]]:
         earliest, available = discover_watermarks(changelog, source_path)
+        self._last_available = available
         return plan_batches(
             available,
             self.committed_watermarks(),
@@ -331,7 +345,22 @@ class CdcEngine:
         }
         metrics["quality_errors"] = n_errors
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+        metrics.update(batch_rates(metrics, metrics["wall_sec"]))
+        if self._last_available is not None:
+            # lag after THIS commit: available head minus the just-committed
+            # watermark, per partition (zero when fully caught up)
+            metrics["partition_lag"] = partition_lag(
+                self._last_available, {int(p): int(v) for p, v in wm.items()}
+            )
+            metrics["total_lag"] = sum(metrics["partition_lag"].values())
         lineage["metrics"] = metrics
+        self.stats.record(
+            {
+                "batch_id": batch_id,
+                "snapshot_version": result["version"],
+                **metrics,
+            }
+        )
         if self.errors_path:
             batch.unpersist()
         if self.state:

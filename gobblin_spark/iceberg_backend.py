@@ -30,10 +30,23 @@ Mapping of the stand-in's mechanics onto Iceberg:
   props can attach snapshot-summary properties via the DataFrame writer
   option ``snapshot-property.<k>`` instead.
 - **bucket layout** — ``PARTITIONED BY (bucket(N, key))``. Iceberg's bucket
-  transform is murmur3-based (not Spark's xxhash64), so ``bucket_expr`` is
-  intentionally NOT used for storage layout here — Iceberg prunes MERGE
-  target files by its own transform; the expression is kept only for
-  engine-side salting/stats parity.
+  transform is murmur3-based (not Spark's xxhash64), so this backend has
+  TWO bucket expressions with distinct jobs: ``storage_bucket_expr`` (the
+  catalog's ``system.bucket`` function — matches the file layout, used by
+  ``read(buckets=)`` so pruning is real) and ``bucket_expr`` (engine-side
+  xxhash64 — salting/stats parity only, never a pruning predicate here).
+  MERGE INTO does its own file-level pruning on the join key. Round-3
+  audit: filtering on xxhash64 against a murmur3 layout pruned nothing.
+
+One-command conformance run outside this sandbox (no network here, so the
+jar cannot be vendored; pick the runtime matching your Spark/Scala)::
+
+    GS_ICEBERG=1 python -m pytest tests/test_iceberg_backend.py -q \\
+      --deselect-none  # with e.g.:
+    # export PYSPARK_SUBMIT_ARGS="--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> \\
+    #   --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \\
+    #   --conf spark.sql.catalog.local.type=hadoop \\
+    #   --conf spark.sql.catalog.local.warehouse=/tmp/gs-warehouse pyspark-shell"
 - **mode="rewrite"** — SQL ``MERGE INTO`` with the LWW version guard
   (``struct(u.ts, u.off) > struct(t.ts, t.off)``); copy-on-write.
 - **mode="delta"** — O(batch) append (no target read), identical to the
@@ -127,10 +140,18 @@ class IcebergTable:
 
     @property
     def version(self) -> int:
-        """Current snapshot id (Iceberg's analog of the manifest version)."""
+        """Current snapshot id (Iceberg's analog of the manifest version),
+        from the main branch ref — NOT max(committed_at), which ties for
+        same-millisecond commits. Falls back to the history table (ordered
+        by made_current_at then snapshot_id) for catalogs without refs."""
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ident}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.ident}.refs WHERE name = 'main'"
+        ).collect()
+        if row:
+            return int(row[0][0])
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.ident}.history "
+            "ORDER BY made_current_at DESC, snapshot_id DESC LIMIT 1"
         ).collect()
         return int(row[0][0]) if row else 0
 
@@ -147,20 +168,35 @@ class IcebergTable:
         return T.StructType([f for f in full.fields if f.name not in HIDDEN])
 
     def bucket_expr(self, col: str | None = None):
-        # engine-side parity only; Iceberg lays files out with its own
-        # murmur3 bucket transform (see module docstring)
+        # engine-side salting/stats parity only; NEVER a pruning predicate on
+        # this backend — Iceberg lays files out with its own murmur3 bucket
+        # transform, so use storage_bucket_expr for anything that should prune
         return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
+
+    def storage_bucket_expr(self, col: str | None = None):
+        """Iceberg's OWN bucket transform (murmur3), via the catalog's
+        ``system.bucket`` function — the bucket id that matches the physical
+        file layout, so a filter on it actually prunes files. This is the
+        round-3 audit fix: filtering on the engine's xxhash64 expression
+        prunes nothing against a table partitioned by ``bucket(N, key)``."""
+        catalog = self.ident.split(".", 1)[0]
+        return F.expr(
+            f"{catalog}.system.bucket({self.n_buckets}, `{col or self.key}`)"
+        )
 
     # ---------------------------------------------------------------- read
     def read(self, buckets: list[int] | None = None, include_hidden: bool = False) -> DataFrame:
         """Table scan; while uncompacted delta appends exist (``gs.delta.dirty``)
         rows are LWW-collapsed per key, mirroring the stand-in's
-        multi-generation read. ``buckets`` prunes with the engine bucket
-        expression (predicate pushdown prunes files only when it aligns with
-        Iceberg's transform; correctness never depends on it)."""
+        multi-generation read. ``buckets`` are STORAGE bucket ids
+        (Iceberg's murmur3 ``bucket(N, key)`` transform): the filter uses
+        ``storage_bucket_expr``, which matches the partition layout and
+        therefore prunes data files — correctness and pruning agree."""
         out = self.spark.table(self.ident)
         if buckets is not None:
-            out = out.filter(self.bucket_expr().isin([int(b) for b in buckets]))
+            out = out.filter(
+                self.storage_bucket_expr().isin([int(b) for b in buckets])
+            )
         if self.properties.get(_DIRTY_PROP) == "true":
             out = lww_latest(out, [self.key], ["_version_ts", "_version_off"])
         if not include_hidden:

@@ -34,6 +34,7 @@ import os
 import shutil
 import tempfile
 import time
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +72,82 @@ def resolve_bucket_index(root: str, raw_manifest: dict) -> tuple[dict, set[str]]
     return buckets, shards
 
 
+class LazyBucketIndex(Mapping):
+    """Shard-lazy bucket index (manifest format v2). Keyed access loads ONLY
+    the shard a bucket lives in (shard = bucket % n_shards); full iteration
+    (``.items()``, ``dict(...)``, ``==``) loads everything, so code written
+    against a plain dict keeps working. ``shard_opens`` counts shard-file
+    reads — the unit tests pin commit + pruned read to O(touched shards).
+
+    Without this, a 10^6-bucket table paid O(n_buckets) driver memory and IO
+    on the first ``manifest()`` of every process, re-capping exactly what the
+    sharded persistence format uncapped (round-3 verdict #4)."""
+
+    def __init__(self, root: str, pointers: dict[str, str], n_shards: int):
+        self.root = root
+        self.pointers = {str(k): v for k, v in pointers.items()}
+        self.n_shards = n_shards
+        self._loaded: dict[int, dict] = {}
+        self.shard_opens = 0
+
+    def _shard(self, sid: int) -> dict:
+        if sid not in self._loaded:
+            rel = self.pointers.get(str(sid))
+            if rel is None:
+                self._loaded[sid] = {}
+            else:
+                self.shard_opens += 1
+                with open(os.path.join(self.root, rel)) as f:
+                    self._loaded[sid] = json.load(f)
+        return self._loaded[sid]
+
+    def __getitem__(self, b):
+        return self._shard(int(b) % self.n_shards)[str(b)]
+
+    def __iter__(self):
+        for sid in range(self.n_shards):
+            yield from self._shard(sid)
+
+    def __len__(self) -> int:
+        return sum(len(self._shard(s)) for s in range(self.n_shards))
+
+
+class OverlaidIndex(Mapping):
+    """A base bucket index + an in-memory overlay of touched buckets and a
+    set of removed ones — the O(batch) view a delta commit builds instead of
+    copying the whole index. ``_commit`` persists it by carrying every
+    untouched shard's pointer forward by reference (zero load, zero write)."""
+
+    def __init__(self, base: Mapping, overlay: dict, removed: set[str]):
+        self.base = base
+        self.overlay = {str(k): v for k, v in overlay.items()}
+        self.removed = {str(k) for k in removed}
+
+    def touched_shards(self, n_shards: int) -> set[int]:
+        return {int(b) % n_shards for b in (*self.overlay, *self.removed)}
+
+    def __getitem__(self, b):
+        b = str(b)
+        if b in self.removed:
+            raise KeyError(b)
+        if b in self.overlay:
+            return self.overlay[b]
+        return self.base[b]
+
+    def __iter__(self):
+        for b in self.base:
+            if b not in self.removed and b not in self.overlay:
+                yield b
+        yield from self.overlay
+
+    def __len__(self) -> int:
+        n = len(self.overlay)
+        for b in self.base:
+            if b not in self.removed and b not in self.overlay:
+                n += 1
+        return n
+
+
 def _bucket_file_counts(out_path: str) -> dict[int, int]:
     """Parquet files per ``_bucket=`` dir of a just-written snapshot dir.
     Called once at COMMIT time (O(written buckets), driver-side like the
@@ -90,8 +167,6 @@ class SnapshotTable:
         self.spark = spark
         self.root = root
         self._manifest: dict | None = None
-        # sharded-manifest mode: shard_id -> (relpath, {bucket: entry})
-        self._shard_cache: dict[int, tuple[str, dict]] = {}
 
     # ---------------------------------------------------------------- meta
     @classmethod
@@ -141,17 +216,14 @@ class SnapshotTable:
             with open(os.path.join(self.root, "meta", f"v{v:06d}.json")) as f:
                 m = json.load(f)
             if m.get("bucket_shards") is not None:
-                # sharded persistence: assemble the in-memory bucket index
-                # from the shard files ONCE per process; commits after this
-                # reuse unchanged shards by reference (see _commit)
-                buckets: dict[str, object] = {}
-                self._shard_cache = {}
-                for sid, rel in m.pop("bucket_shards").items():
-                    with open(os.path.join(self.root, rel)) as f:
-                        part = json.load(f)
-                    buckets.update(part)
-                    self._shard_cache[int(sid)] = (rel, part)
-                m["buckets"] = buckets
+                # sharded persistence: the in-memory index is LAZY — a shard
+                # file is read only when one of its buckets is actually
+                # touched, so a pruned read or an O(batch) commit never pays
+                # O(n_buckets) driver IO/memory (full iteration still loads
+                # everything, for whole-table ops)
+                m["buckets"] = LazyBucketIndex(
+                    self.root, m.pop("bucket_shards"), int(m["manifest_shards"])
+                )
             self._manifest = m
         return self._manifest
 
@@ -189,36 +261,79 @@ class SnapshotTable:
         if n_shards > 0:
             # Iceberg manifest-list model: the versioned manifest carries only
             # a POINTER TABLE to bucket-index shard files (shard = bucket %
-            # n_shards); a shard whose bucket subset is unchanged since the
-            # last loaded/committed version is carried forward by reference —
-            # zero serialization, zero IO. Commit cost is O(touched shards ·
-            # shard size + n_shards pointers) instead of O(n_buckets ·
-            # generations); at 10^6 buckets with 10^3 shards a 10-bucket
-            # batch rewrites ~10 shard files of ~10^3 entries each. Unchanged-
-            # shard detection is a driver-side dict equality (C-level, no
-            # serialization). Shard files land before the pointer swap, so a
-            # crash strands only unreferenced shards (GC'd by
-            # expire_snapshots), the usual replay story.
+            # n_shards); a shard no bucket of which was touched is carried
+            # forward by POINTER — zero load, zero serialization, zero IO.
+            # Commit cost is O(touched shards · shard size + n_shards
+            # pointers) instead of O(n_buckets · generations); at 10^6
+            # buckets with 10^3 shards a 10-bucket batch rewrites ~10 shard
+            # files of ~10^3 entries each. Shard files land before the
+            # pointer swap, so a crash strands only unreferenced shards
+            # (GC'd by expire_snapshots), the usual replay story.
             shards_dir = os.path.join(meta, "shards")
             os.makedirs(shards_dir, exist_ok=True)
-            split: dict[int, dict] = {s: {} for s in range(n_shards)}
-            for b, e in manifest["buckets"].items():
-                split[int(b) % n_shards][b] = e
-            pointers: dict[str, str] = {}
-            for sid in range(n_shards):
-                cached = self._shard_cache.get(sid)
-                if cached is not None and cached[1] == split[sid]:
-                    pointers[str(sid)] = cached[0]
-                    continue
+            idx = manifest["buckets"]
+
+            def _write_shard(sid: int, content: dict) -> str:
                 rel = f"meta/shards/s{sid:04d}-v{manifest['version']:06d}.json"
                 full = os.path.join(self.root, rel)
                 with open(full + ".tmp", "w") as f:
-                    json.dump(split[sid], f)
+                    json.dump(content, f)
                 os.replace(full + ".tmp", full)
-                pointers[str(sid)] = rel
-                self._shard_cache[sid] = (rel, split[sid])
+                return rel
+
+            pointers: dict[str, str] = {}
+            seeded: dict[int, dict] = {}
+            if isinstance(idx, OverlaidIndex) and isinstance(idx.base, LazyBucketIndex):
+                # the O(batch) path: only shards holding an overlaid/removed
+                # bucket are loaded, patched and rewritten
+                base = idx.base
+                touched = idx.touched_shards(n_shards)
+                for sid in range(n_shards):
+                    if sid not in touched and str(sid) in base.pointers:
+                        pointers[str(sid)] = base.pointers[str(sid)]
+                        if sid in base._loaded:
+                            seeded[sid] = base._loaded[sid]
+                        continue
+                    content = dict(base._shard(sid))
+                    for b in idx.removed:
+                        if int(b) % n_shards == sid:
+                            content.pop(b, None)
+                    for b, e in idx.overlay.items():
+                        if int(b) % n_shards == sid:
+                            content[b] = e
+                    pointers[str(sid)] = _write_shard(sid, content)
+                    seeded[sid] = content
+            elif isinstance(idx, LazyBucketIndex) and idx.root == self.root:
+                # metadata-only commit (properties): every pointer carries
+                pointers = dict(idx.pointers)
+                seeded = dict(idx._loaded)
+            else:
+                # plain dict (create / compact / purge): split and write all —
+                # these ops rewrite (nearly) every bucket anyway; a shard that
+                # happens to be loaded and unchanged still carries by pointer
+                prev = (
+                    self._manifest.get("buckets") if self._manifest else None
+                )
+                split: dict[int, dict] = {s: {} for s in range(n_shards)}
+                for b, e in idx.items():
+                    split[int(b) % n_shards][str(b)] = e
+                for sid in range(n_shards):
+                    if (
+                        isinstance(prev, LazyBucketIndex)
+                        and prev._loaded.get(sid) == split[sid]
+                        and str(sid) in prev.pointers
+                    ):
+                        pointers[str(sid)] = prev.pointers[str(sid)]
+                    else:
+                        pointers[str(sid)] = _write_shard(sid, split[sid])
+                    seeded[sid] = split[sid]
             persisted = {k: v for k, v in manifest.items() if k != "buckets"}
             persisted["bucket_shards"] = pointers
+            # the committed in-memory view: lazy over the new pointers, with
+            # every shard we already hold in hand pre-seeded (no re-read)
+            fresh = LazyBucketIndex(self.root, pointers, n_shards)
+            fresh._loaded = seeded
+            manifest = {**manifest, "buckets": fresh}
         path = os.path.join(meta, f"v{manifest['version']:06d}.json")
         with open(path + ".tmp", "w") as f:
             json.dump(persisted, f, indent=1)
@@ -246,7 +361,9 @@ class SnapshotTable:
 
     def manifest_at(self, version: int) -> dict:
         """Historical manifest (time travel). Versions older than the
-        retention window are gone — ``expire_snapshots`` deleted them."""
+        retention window are gone — ``expire_snapshots`` deleted them.
+        Sharded manifests resolve to a LAZY index (same as ``manifest()``),
+        so a pruned historical read loads only the shards it touches."""
         if version == self.manifest()["version"]:
             return self.manifest()
         path = os.path.join(self.root, "meta", f"v{version:06d}.json")
@@ -257,9 +374,35 @@ class SnapshotTable:
             )
         with open(path) as f:
             m = json.load(f)
-        bmap, _ = resolve_bucket_index(self.root, m)
-        m["buckets"] = bmap
+        if m.get("bucket_shards") is not None:
+            m["buckets"] = LazyBucketIndex(
+                self.root, m.pop("bucket_shards"), int(m["manifest_shards"])
+            )
         return m
+
+    def changed_buckets(self, m_from: dict, m_to: dict) -> list[int]:
+        """Buckets whose manifest entries differ between two snapshots — the
+        manifest-diff pruning set for ``changes_between``. When both
+        snapshots are sharded, shards whose POINTERS are equal are skipped
+        without being read (an unchanged shard file implies every bucket in
+        it is unchanged), so driver cost is O(changed shards · shard size),
+        not O(n_buckets)."""
+        bf, bt = m_from["buckets"], m_to["buckets"]
+        if (
+            isinstance(bf, LazyBucketIndex)
+            and isinstance(bt, LazyBucketIndex)
+            and bf.n_shards == bt.n_shards
+        ):
+            out: list[int] = []
+            for sid in range(bf.n_shards):
+                if bf.pointers.get(str(sid)) == bt.pointers.get(str(sid)):
+                    continue
+                s1, s2 = bf._shard(sid), bt._shard(sid)
+                out.extend(
+                    int(b) for b in set(s1) | set(s2) if s1.get(b) != s2.get(b)
+                )
+            return sorted(out)
+        return sorted(int(b) for b in set(bf) | set(bt) if bf.get(b) != bt.get(b))
 
     def read(
         self,
@@ -294,9 +437,14 @@ class SnapshotTable:
         full = _with_hidden(_era_schema(m["current_schema_id"]))
         single: dict[tuple[str, int], list[str]] = {}
         multi: dict[tuple[str, int], list[str]] = {}
-        for b, e in m["buckets"].items():
-            if buckets is not None and int(b) not in buckets:
-                continue
+        bmap = m["buckets"]
+        if buckets is None:
+            it = bmap.items()
+        else:
+            # keyed access — a lazy (sharded) index loads only the shards
+            # these buckets live in, O(touched), never the whole table index
+            it = ((str(b), bmap[str(b)]) for b in sorted(set(buckets)) if str(b) in bmap)
+        for b, e in it:
             entries = self._bucket_entries(e)
             target = single if len(entries) == 1 else multi
             for ent in entries:
@@ -336,7 +484,9 @@ class SnapshotTable:
     def read_visible(self) -> DataFrame:
         return self.read()
 
-    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+    def changes_between(
+        self, v_from: int, v_to: int, granularity: str = "net"
+    ) -> DataFrame:
         """Incremental consumption (the CDC *read* side — Iceberg
         ``create_changelog_view`` / incremental scan): net row-level changes
         between two retained snapshots, classified as insert / update /
@@ -354,17 +504,38 @@ class SnapshotTable:
         window spanning a compaction commit prunes nothing (still correct —
         identical versions classify as no-change and drop out).
 
-        Net-changes semantics: a key updated 5 times inside the window
-        surfaces once (v_from→v_to delta), the Iceberg net_changes view —
-        per-event granularity lives UPSTREAM in the changelog itself.
+        Net-changes semantics (``granularity="net"``, default): a key updated
+        5 times inside the window surfaces once (v_from→v_to delta), the
+        Iceberg net_changes view. ``granularity="per_commit"`` instead emits
+        one classified row per key per COMMIT that changed it, each tagged
+        with ``_commit_version`` — the Iceberg changelog-view carry-over
+        shape, bounded by retained snapshots (an expired intermediate
+        manifest raises, it cannot silently degrade to net). Granularity
+        finer than a commit does not exist in the table: in-batch versions
+        were LWW-folded before the commit; THAT stream lives upstream in the
+        changelog itself.
         """
         if v_to < v_from:
             raise ValueError(f"changes_between: v_to {v_to} < v_from {v_from}")
+        if granularity == "per_commit":
+            if v_to == v_from:  # empty window: right schema, zero rows
+                return self.changes_between(v_from, v_to).withColumn(
+                    "_commit_version", F.lit(v_to).cast("int")
+                )
+            parts = [
+                self.changes_between(v - 1, v).withColumn(
+                    "_commit_version", F.lit(v).cast("int")
+                )
+                for v in range(v_from + 1, v_to + 1)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        if granularity != "net":
+            raise ValueError(f"unknown granularity: {granularity}")
         m_from, m_to = self.manifest_at(v_from), self.manifest_at(v_to)
-        bf, bt = m_from["buckets"], m_to["buckets"]
-        changed = sorted(
-            int(b) for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
-        )
+        changed = self.changed_buckets(m_from, m_to)
         key = self.key
         # widest of the two eras so both sides conform to one shape
         sch_to = T.StructType.fromJson(m_to["schemas"][str(m_to["current_schema_id"])])
@@ -488,13 +659,20 @@ class SnapshotTable:
             ).parquet(out_path)
             file_counts = _bucket_file_counts(out_path)
             written = set(file_counts)
-            new_buckets = {
-                b: list(self._bucket_entries(e)) for b, e in m["buckets"].items()
-            }
+            # O(batch) manifest view: only written buckets enter the overlay
+            # (their prior entry lists come from the lazy index, loading just
+            # the shards they live in); everything else is carried by the
+            # base index untouched
+            overlay: dict[str, list] = {}
+            removed: set[str] = set()
+            bmap = m["buckets"]
             for b in sorted(written):
-                new_buckets.setdefault(str(b), []).append(
+                prev = bmap.get(str(b))
+                ents = list(self._bucket_entries(prev)) if prev is not None else []
+                ents.append(
                     {"data": data_rel, "schema_id": schema_id, "files": file_counts[b]}
                 )
+                overlay[str(b)] = ents
             schemas = dict(m["schemas"])
             if schema_changed:
                 schemas[str(schema_id)] = new_schema.jsonValue()
@@ -509,8 +687,10 @@ class SnapshotTable:
             # entries forever. A crash before the pointer swap leaves only an
             # unreferenced fold dir — the usual replay story.
             cap = int(m.get("max_generations", 8))
+            # only buckets this commit appended to can newly overflow, so the
+            # trigger scans the overlay (O(batch)), never the whole index
             overflow = sorted(
-                int(b) for b, ents in new_buckets.items() if len(ents) > cap
+                int(b) for b, ents in overlay.items() if len(ents) > cap
             )
             folded = []
             if overflow:
@@ -518,7 +698,7 @@ class SnapshotTable:
                 fold_path = os.path.join(self.root, fold_rel)
                 by_schema: dict[int, list[str]] = {}
                 for b in overflow:
-                    for ent in new_buckets[str(b)]:
+                    for ent in overlay[str(b)]:
                         by_schema.setdefault(ent["schema_id"], []).append(
                             os.path.join(self.root, ent["data"], f"_bucket={b}")
                         )
@@ -543,15 +723,18 @@ class SnapshotTable:
                 fold_counts = _bucket_file_counts(fold_path)
                 for b in overflow:
                     if b in fold_counts:
-                        new_buckets[str(b)] = {
+                        overlay[str(b)] = {
                             "data": fold_rel,
                             "schema_id": schema_id,
                             "files": fold_counts[b],
                         }
                     else:  # bucket held only rows that no longer exist
-                        new_buckets.pop(str(b), None)
+                        overlay.pop(str(b), None)
+                        removed.add(str(b))
                 folded = overflow
 
+            ov = OverlaidIndex(bmap, overlay, removed)
+            sharded = int(m.get("manifest_shards") or 0) > 0
             self._commit(
                 {
                     **m,
@@ -559,7 +742,9 @@ class SnapshotTable:
                     "parent": m["version"],
                     "current_schema_id": schema_id,
                     "schemas": schemas,
-                    "buckets": new_buckets,
+                    # inline manifests JSON-serialize the index, so they
+                    # materialize; sharded mode keeps the O(batch) overlay
+                    "buckets": ov if sharded else dict(ov),
                     "properties": {**m["properties"], **(properties or {})},
                 }
             )
@@ -628,13 +813,15 @@ class SnapshotTable:
                 f"merge wrote buckets {sorted(stray)} outside the affected set "
                 f"{affected}; affected must cover every update bucket"
             )
-        new_buckets = dict(m["buckets"])
-        for b in sorted(written):
-            new_buckets[str(b)] = {
+        overlay = {
+            str(b): {
                 "data": data_rel,
                 "schema_id": schema_id,
                 "files": file_counts[b],
             }
+            for b in sorted(written)
+        }
+        ov = OverlaidIndex(m["buckets"], overlay, set())
         schemas = dict(m["schemas"])
         if schema_changed:
             schemas[str(schema_id)] = new_schema.jsonValue()
@@ -644,7 +831,7 @@ class SnapshotTable:
             "parent": m["version"],
             "current_schema_id": schema_id,
             "schemas": schemas,
-            "buckets": new_buckets,
+            "buckets": ov if int(m.get("manifest_shards") or 0) > 0 else dict(ov),
             "properties": {**m["properties"], **(properties or {})},
         }
         self._commit(manifest)

@@ -1,15 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-Decode status (round 3): UNCOMPRESSED formats are decoded FOR REAL with
-stdlib-only codecs (``media_codecs``): P6 PPM and 24-bit BMP pixels, PCM WAV
-samples, and back-to-back-P6 "video" frame streams. resize/features/frame-
-sample operate on actual pixel/sample values for those formats, and the
-DuckDB contract oracles check the pixel math value-for-value. COMPRESSED
-formats (JPEG/PNG/H.264) still fall back to the deterministic sha256 STUB
-(this container has no PIL/cv2/pyav — verified each round); swapping in a
-real compressed-format decoder means replacing only the fallback branches
-marked STUB below.
+Decode status (round 4): REAL stdlib-only decode (``media_codecs``) for
+P6 PPM, 24-bit BMP, **PNG** (zlib inflate + all five scanline filters,
+color types 0/2/3/4/6 at 8-bit), PCM WAV, and back-to-back-P6 "video"
+frame streams. resize/features/frame-sample operate on actual pixel/sample
+values for those formats, and the DuckDB contract oracles check the pixel
+math value-for-value. Natively-coded formats (JPEG/H.264 — this container
+has no libjpeg/PIL/pyav, verified each round) still fall back to the
+deterministic sha256 STUB; swapping in a real decoder means replacing only
+the fallback branches marked STUB below.
 """
 
 from __future__ import annotations
@@ -24,10 +24,12 @@ from pyspark.sql import types as T
 
 from .media_codecs import (
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     resize_nn,
@@ -125,9 +127,12 @@ def resize_images(
                     if fmt == "bmp":
                         _, _, arr = decode_bmp(payload)
                         return encode_bmp(resize_nn(arr, width, height))
+                    if fmt == "png":
+                        _, _, arr = decode_png(payload)
+                        return encode_png(resize_nn(arr, width, height))
                 except ValueError:
                     pass  # corrupt/unsupported variant → stub fallback
-                # STUB fallback (compressed formats; no PIL/cv2 in sandbox)
+                # STUB fallback (JPEG etc.; no native codecs in sandbox)
                 return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
 
             yield pd.DataFrame(
@@ -199,6 +204,8 @@ def _decode_any_image(payload: bytes) -> np.ndarray | None:
             return decode_ppm(payload)[2]
         if fmt == "bmp":
             return decode_bmp(payload)[2]
+        if fmt == "png":
+            return decode_png(payload)[2]
     except ValueError:
         return None
     return None
@@ -361,13 +368,21 @@ def _synth_payload_op(df: DataFrame, id_col: str, build) -> DataFrame:
 
 def synth_image_payloads(df: DataFrame, id_col: str = "doc_id", fmt: str = "mixed") -> DataFrame:
     """Deterministic synthetic images (closed form above), encoded as real
-    P6 PPM / 24-bit BMP bytes. ``fmt='mixed'`` alternates by id parity so a
-    single pipeline exercises both stdlib decoders."""
+    P6 PPM / 24-bit BMP / PNG bytes. ``fmt='mixed'`` rotates by id % 3 so one
+    pipeline exercises all three stdlib decoders (the contract oracle
+    recomputes stats from the closed form, so it is format-blind — a decode
+    bug in ANY of the three codecs breaks the value hash). PNG payloads
+    alternate the filter the encoder writes (None for id%2==0, Up otherwise)
+    so both vectorized decode branches are on the contract path."""
 
     def build(did: int) -> bytes:
         arr = _synth_image_array(did)
-        use_bmp = fmt == "bmp" or (fmt == "mixed" and did % 2 == 1)
-        return encode_bmp(arr) if use_bmp else encode_ppm(arr)
+        chosen = fmt if fmt != "mixed" else ("ppm", "bmp", "png")[did % 3]
+        if chosen == "bmp":
+            return encode_bmp(arr)
+        if chosen == "png":
+            return encode_png(arr, filter_type=0 if did % 2 == 0 else 2)
+        return encode_ppm(arr)
 
     return _synth_payload_op(df, id_col, build)
 

@@ -6,6 +6,16 @@ re-appends the audit trail — one row per recorded session JSON in
 the host-envelope forensics. Run it after every scaling_bench session:
 
     python scripts/scaling_bench.py ... && python scripts/bench_history.py
+
+Two session formats exist:
+- round-4+ (`scaling_r4_*`): every run carries (session, round, index)
+  provenance and the headline `scaling_efficiency` IS the paired median;
+  session-local rows select runs by their own session id — no value
+  matching, no double counting.
+- round-3 (`scaling_2026-08-17/18T*`): flat `runs_sec` lists, some sessions
+  pooled earlier ones; the `_POOLED_FROM` map backs those out (by value —
+  the historical format recorded nothing better). These rows are kept as
+  history of the older code revision; they are never pooled into new floors.
 """
 
 from __future__ import annotations
@@ -13,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import statistics
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,8 +34,8 @@ _PRE_FOOTER = {
     "scaling_2026-08-17T20.json",
     "scaling_2026-08-17T21.json",
 }
-# sessions that POOLED prior sessions carry merged run lists; map each to
-# the sessions it pooled so session-local rows can be backed out
+# legacy sessions that POOLED prior sessions carry merged run lists; map each
+# to the sessions it pooled so session-local rows can be backed out
 _POOLED_FROM = {
     "scaling_2026-08-18T00.json": [
         "scaling_2026-08-17T23.json",
@@ -38,23 +49,53 @@ _POOLED_FROM = {
 }
 
 
-def _runs(d: dict, level: str) -> list[float]:
+def _legacy_runs(d: dict, level: str) -> list[float]:
     return list(d["levels"][level]["runs_sec"])
 
 
 def session_rows() -> list[tuple]:
-    files = {os.path.basename(f): json.load(open(f)) for f in sorted(glob.glob(os.path.join(REPO, "bench_sessions", "*.json")))}
+    files = {
+        os.path.basename(f): json.load(open(f))
+        for f in sorted(glob.glob(os.path.join(REPO, "bench_sessions", "*.json")))
+        if os.path.getsize(f) > 0
+    }
     rows = []
     for name, d in files.items():
-        nr, fr = _runs(d, "1"), _runs(d, "4")
+        if "floor" in d:  # round-4+ provenance format
+            own = d["session"]
+            nr = [
+                r["apply_sec"]
+                for r in d["levels"]["1"]["runs"]
+                if r.get("session") == own
+            ]
+            fr = [
+                r["apply_sec"]
+                for r in d["levels"]["4"]["runs"]
+                if r.get("session") == own
+            ]
+            if not nr or not fr:
+                continue
+            rows.append(
+                (
+                    own,
+                    f"r4 provenance ({d.get('git_sha', '?')})",
+                    len(nr),
+                    len(fr),
+                    min(nr),
+                    min(fr),
+                    d["scaling_efficiency"],  # paired median (the criterion)
+                    round(min(nr) / min(fr) / 4, 3),
+                )
+            )
+            continue
+        # ---- legacy (round-3) format
+        nr, fr = _legacy_runs(d, "1"), _legacy_runs(d, "4")
         for prior in _POOLED_FROM.get(name, []):
             if prior in files:
-                # back out pooled prior runs (by value — identical job, so a
-                # duplicated float means the pooled copy, not a coincidence)
-                for v in _runs(files[prior], "1"):
+                for v in _legacy_runs(files[prior], "1"):
                     if v in nr:
                         nr.remove(v)
-                for v in _runs(files[prior], "4"):
+                for v in _legacy_runs(files[prior], "4"):
                     if v in fr:
                         fr.remove(v)
         if not nr or not fr:
@@ -66,42 +107,64 @@ def session_rows() -> list[tuple]:
         if pm is None and name in ("scaling_2026-08-17T19.json", "scaling_2026-08-17T20.json"):
             pm = d["scaling_efficiency"]  # pre-floor sessions stored the paired median here
         label = name.replace("scaling_2026-08-", "").replace(".json", "")
-        rows.append((label, code, len(nr), len(fr), min(nr), min(fr), pm if pm is not None else "—", round(min(nr) / min(fr) / 4, 3)))
+        rows.append(
+            (
+                label,
+                code,
+                len(nr),
+                len(fr),
+                min(nr),
+                min(fr),
+                pm if pm is not None else "—",
+                round(min(nr) / min(fr) / 4, 3),
+            )
+        )
     return rows
 
 
 def main() -> None:
+    rows = session_rows()
+    r4 = [r for r in rows if str(r[1]).startswith("r4")]
     lines = [
         "",
-        "## Session history (2026-08-17/18 UTC, identical 10M-event input)",
+        "## Session history (identical 10M-event input per session)",
         "",
-        "Every protocol session and probe run, session-local numbers (raw JSONs",
-        "committed in `bench_sessions/`). Pre-footer sessions ran the older code",
-        "whose planner scanned the changelog twice per replay; the footer-",
-        "statistics planner (commit a6b82bb) removed ~5 s of fixed cost per run.",
+        "Every protocol session, session-local numbers (raw JSONs committed in",
+        "`bench_sessions/`). Round-4 sessions carry per-run provenance",
+        "(session id, round, git SHA, steal, loadavg) and their paired-median",
+        "column IS the session's PASS/FAIL number; the 2026-08-17/18 legacy",
+        "rows ran older code (pre-r4 planner or pre-footer planner) under the",
+        "older floor-headline protocol and are kept as history only — they are",
+        "never pooled into current estimates (the pooler refuses git-SHA",
+        "mismatches).",
         "",
         "| session | code | runs N/4N | floor N (s) | floor 4N (s) | paired median | session floor eff |",
         "|---|---|---|---|---|---|---|",
     ]
-    for r in session_rows():
+    for r in rows:
         lines.append(f"| {r[0]} | {r[1]} | {r[2]}/{r[3]} | {r[4]} | {r[5]} | {r[6]} | {r[7]} |")
+    if r4:
+        meds = [r[6] for r in r4]
+        lines += [
+            "",
+            f"Round-4 paired medians across {len(r4)} independent session(s): "
+            f"{sorted(meds)} (median of medians = "
+            f"{statistics.median(meds):.3f}).",
+        ]
     lines += [
         "",
-        "Host-envelope forensics for the day: `/proc/loadavg` read 10-12 with zero",
-        "local CPU consumers during the worst windows (co-tenant pressure invisible",
-        "to steal accounting), and scripts/membw_probe.py measured single-process",
-        "copy bandwidth at 9.9 GB/s vs the 25.9 GB/s recorded when round 2's 0.852",
-        "was measured — the shared box's bandwidth envelope itself moved between",
-        "rounds. That is exactly the term the floor estimator is designed to shed:",
-        "both floor runs (N and 4N) came from one back-to-back pair in the day's",
-        "single quiet window — the paired discipline at the floor, not a mix of",
-        "lucky halves — and every contended run that the median would average in",
-        "is listed above, not hidden.",
+        "Host-envelope context: this is a shared VM whose memory-bandwidth",
+        "envelope moves between rounds (scripts/membw_probe.py; 9.9-25.9 GB/s",
+        "single-process across 2026-08-17/18). A pure-CPU probe (cache-resident",
+        "sha256, scripts/ see BENCH notes) shows per-core throughput drops only",
+        "~8% from 1 to 4 pinned cores, so the hardware supports >=0.9 scaling",
+        "for compute-bound work; bandwidth contention is what the paired",
+        "discipline controls for.",
         "",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines))
-    print(f"appended {len(session_rows())} session rows to BENCH.md")
+    print(f"appended {len(rows)} session rows to BENCH.md")
 
 
 if __name__ == "__main__":

@@ -131,6 +131,33 @@ def test_properties_and_metadata_commit(backend, spark, tmp_path):
     assert t.version != v0 or backend.name == "iceberg"  # metadata-only commit advances
 
 
+def test_iceberg_bucket_pruning_uses_storage_transform(backend, spark, tmp_path):
+    """Round-3 audit fix: ``read(buckets=)`` must filter on Iceberg's OWN
+    murmur3 ``bucket(N, key)`` transform (``storage_bucket_expr``) so the
+    predicate aligns with the physical partition layout and PRUNES data
+    files — the engine's xxhash64 expression prunes nothing here. Iceberg
+    parametrization only (the snapshot backend's layout IS xxhash64)."""
+    if backend.name != "iceberg":
+        pytest.skip("storage-transform pruning is an Iceberg-layout property")
+    t = backend.make(spark, str(tmp_path))
+    rows = [(f"u{i}", f"v{i}", 1, i) for i in range(40)]
+    t.merge(_updates(spark, rows))
+    # ground truth: each key's storage bucket id per Iceberg's own transform
+    by_bucket = {
+        r["url"]: r["b"]
+        for r in spark.table(t.ident)
+        .select("url", t.storage_bucket_expr().alias("b"))
+        .collect()
+    }
+    target = by_bucket["u0"]
+    got = {r["url"] for r in t.read(buckets=[target]).collect()}
+    assert got == {u for u, b in by_bucket.items() if b == target}
+    # and the scan is actually pruned: fewer files than the full table scan
+    all_files = set(spark.table(t.ident).inputFiles())
+    pruned_files = set(t.read(buckets=[target]).inputFiles())
+    assert pruned_files and pruned_files < all_files
+
+
 def test_delete_where_null_safe(backend, spark, tmp_path):
     t = backend.make(spark, str(tmp_path))
     t.merge(

@@ -134,6 +134,86 @@ def test_expire_snapshots_gcs_unreferenced_shards_only(spark, tmp_path):
     assert t.read().count() == 40
 
 
+def test_pruned_read_is_shard_lazy(spark, tmp_path):
+    """A fresh process reading k buckets must open O(k) shard files, not the
+    whole index — the property that keeps driver metadata IO O(touched) at
+    10^6 buckets (round-3 verdict #4)."""
+    from gobblin_spark.lake import LazyBucketIndex
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=32, manifest_shards=8
+    )
+    t.merge(_updates(spark, range(200)), mode="delta")
+    fresh = SnapshotTable(spark, t.root)
+    idx = fresh.manifest()["buckets"]
+    assert isinstance(idx, LazyBucketIndex)
+    assert idx.shard_opens == 0, "manifest() alone must read no shards"
+    fresh.read(buckets=[5])
+    assert idx.shard_opens == 1  # bucket 5 -> shard 5 only
+    fresh.read(buckets=[5, 13])  # 13 % 8 == 5: same shard, cached
+    assert idx.shard_opens == 1
+    fresh.read(buckets=[6])
+    assert idx.shard_opens == 2
+    # full read loads everything — and still answers correctly
+    assert fresh.read().count() == 200
+
+
+def test_delta_commit_loads_only_touched_shards(spark, tmp_path):
+    """A 1-bucket delta commit from a cold process loads exactly the shard
+    holding that bucket (prior-generation lookup + shard rewrite), carrying
+    the other shards by pointer without ever opening them."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=32, manifest_shards=8
+    )
+    t.merge(_updates(spark, range(200)), mode="delta")
+    fresh = SnapshotTable(spark, t.root)
+    idx = fresh.manifest()["buckets"]
+    fresh.merge(_updates(spark, [7], ts_base=1_900_000_000), mode="delta")
+    assert idx.shard_opens == 1, f"expected 1 shard open, got {idx.shard_opens}"
+    # the committed in-memory view answers without re-reading written shards
+    reread = SnapshotTable(spark, t.root)
+    got = reread.read().filter(F.col("url") == "https://ex.com/7").collect()
+    assert len(got) == 1 and got[0]["rank"] == 7
+
+
+def test_metadata_only_commit_opens_no_shards(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=32, manifest_shards=8
+    )
+    t.merge(_updates(spark, range(50)), mode="delta")
+    fresh = SnapshotTable(spark, t.root)
+    idx = fresh.manifest()["buckets"]
+    fresh.update_properties({"watermark_note": "x"})
+    assert idx.shard_opens == 0, "property commit must carry all shard pointers"
+    assert SnapshotTable(spark, t.root).properties["watermark_note"] == "x"
+
+
+def test_changes_between_prunes_at_shard_pointer_level(spark, tmp_path):
+    """Manifest-diff for changes_between compares shard POINTERS first:
+    shards carried by reference between the two snapshots are never opened —
+    driver diff cost is O(changed shards), and the change set is exact."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=32, manifest_shards=8
+    )
+    t.merge(_updates(spark, range(200)), mode="delta")
+    t.merge(_updates(spark, [7], ts_base=1_900_000_000), mode="delta")
+    fresh = SnapshotTable(spark, t.root)
+    m1, m2 = fresh.manifest_at(1), fresh.manifest_at(2)
+    changed = fresh.changed_buckets(m1, m2)
+    # exactly the one bucket url 7 hashes to
+    b = (
+        fresh.spark.createDataFrame([("https://ex.com/7",)], "url string")
+        .select(fresh.bucket_expr("url").alias("b"))
+        .collect()[0]["b"]
+    )
+    assert changed == [b]
+    # only the differing shard was opened on each side
+    assert m1["buckets"].shard_opens == 1 and m2["buckets"].shard_opens == 1
+    # and the classified delta over those buckets is the single update
+    ch = t.changes_between(1, 2).collect()
+    assert [(r["url"], r["_change_type"]) for r in ch] == [("https://ex.com/7", "update")]
+
+
 def test_retention_policy_resolves_shard_pointers(spark, tmp_path):
     t = SnapshotTable.create(
         spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=16, manifest_shards=4

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from gobblin_spark.operators.media_codecs import (
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     resize_nn,
@@ -91,6 +93,147 @@ def test_sniff_format_magics():
     assert sniff_format(b"\x89PNG....") == "png"
     assert sniff_format(b"\xff\xd8\xffdata") == "jpeg"
     assert sniff_format(b"nonsense") == "unknown"
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose row y uses filters[y] — exercises decoder
+    branches (Sub/Average/Paeth) our encoder never writes."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[0], arr.shape[1]
+    a = arr.astype(np.int64).reshape(h, w * 3)
+    bpp = 3
+    raw = b""
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        cur = a[y]
+        line = np.zeros(w * 3, dtype=np.int64)
+        for x in range(w * 3):
+            av = int(cur[x - bpp]) if x >= bpp else 0
+            bv = int(prev[x])
+            cv = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                line[x] = cur[x]
+            elif f == 1:
+                line[x] = (cur[x] - av) & 0xFF
+            elif f == 2:
+                line[x] = (cur[x] - bv) & 0xFF
+            elif f == 3:
+                line[x] = (cur[x] - (av + bv) // 2) & 0xFF
+            else:
+                p = av + bv - cv
+                pa, pb, pc = abs(p - av), abs(p - bv), abs(p - cv)
+                pr = av if pa <= pb and pa <= pc else bv if pb <= pc else cv
+                line[x] = (cur[x] - pr) & 0xFF
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 2])
+def test_png_roundtrip_encoder_filters(filter_type):
+    for did in (0, 3, 7):
+        arr = _synth_image_array(did)
+        payload = encode_png(arr, filter_type=filter_type)
+        assert sniff_format(payload) == "png"
+        w, h, out = decode_png(payload)
+        assert (w, h) == (arr.shape[1], arr.shape[0])
+        assert np.array_equal(out, arr)
+
+
+def test_png_all_five_scanline_filters_decode():
+    arr = _synth_image_array(5)  # 8+5%5=8... w=13? w = 8+0, compute per id
+    h = arr.shape[0]
+    # every filter appears at least once, incl. row 0 edge cases
+    filters = [(i % 5) for i in range(h)]
+    payload = _png_with_filters(arr, filters)
+    w, hh, out = decode_png(payload)
+    assert np.array_equal(out, arr)
+    # and the reverse order (Paeth on row 0: b = c = 0)
+    payload = _png_with_filters(arr, [4] + [(3 - i) % 5 for i in range(h - 1)])
+    assert np.array_equal(decode_png(payload)[2], arr)
+
+
+def test_png_color_types():
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale (type 0): value v -> RGB (v,v,v)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    p = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(p)
+    assert (w, h) == (4, 3) and np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    # palette (type 3): indices resolve through PLTE
+    palette = np.array([[250, 1, 2], [3, 250, 4], [5, 6, 250]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    p = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(p)
+    assert np.array_equal(out, palette[idx])
+    # RGBA (type 6): alpha dropped
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., :3] = _synth_image_array(1)[:2, :2]
+    rgba[..., 3] = 128
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    p = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(p)[2], rgba[..., :3])
+
+
+def test_png_rejects_malformed():
+    arr = _synth_image_array(2)
+    good = encode_png(arr)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNGnope")
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated chunk
+    # 16-bit depth declines (stub fallback upstream, never wrong pixels)
+    bad = bytearray(good)
+    bad[24] = 16  # IHDR bit depth byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
 
 
 # ------------------------------------------------------ Spark-side real ops

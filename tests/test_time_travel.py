@@ -109,6 +109,34 @@ def test_changes_full_window_equals_current_state(table3):
     assert got == want
 
 
+def test_changes_per_commit_granularity(spark, tmp_path):
+    """per_commit mode (Iceberg changelog-view carry-over shape): a key
+    changed by two commits in the window surfaces ONCE PER COMMIT with its
+    intermediate version, where net mode folds it to a single row."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, key="url", n_buckets=4)
+    t.merge(_upd(spark, [("a", 1, 1, 10, False), ("b", 1, 2, 11, False)]))
+    t.merge(_upd(spark, [("a", 5, 100, 20, False)]), mode="delta")
+    t.merge(
+        _upd(spark, [("a", 9, 200, 30, False), ("b", 9, 0, 31, True)]), mode="delta"
+    )
+    per = sorted(
+        (r["url"], r["_commit_version"], r["_change_type"], r["n"])
+        for r in t.changes_between(1, 3, granularity="per_commit").collect()
+    )
+    assert per == [
+        ("a", 2, "update", 100),  # the intermediate version net mode folds away
+        ("a", 3, "update", 200),
+        ("b", 3, "delete", 2),
+    ]
+    net = {(r["url"], r["_change_type"], r["n"]) for r in t.changes_between(1, 3).collect()}
+    assert net == {("a", "update", 200), ("b", "delete", 2)}
+    # empty window: zero rows, schema still carries the commit column
+    empty = t.changes_between(2, 2, granularity="per_commit")
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    with pytest.raises(ValueError, match="granularity"):
+        t.changes_between(1, 3, granularity="bogus")
+
+
 def test_expired_snapshot_raises(table3):
     t = table3
     t.expire_snapshots(keep_last=2)
