@@ -60,6 +60,7 @@ class CdcEngine:
         reset_policy: str = "error",
         merge_mode: str = "rewrite",
         stats: StatsTracker | None = None,
+        lww_strategy: str = "repartition",
     ):
         self.spark = spark
         self.table = table
@@ -79,6 +80,19 @@ class CdcEngine:
         # merge-on-read generation appends — O(batch) commits for sustained
         # high-frequency ingest, folded back by compaction (see lake.merge)
         self.merge_mode = merge_mode
+        # "repartition" (default): ONE exchange of the raw rows; the LWW
+        # groupBy, the MERGE join and the bucketed write all ride that single
+        # bucket partitioning. "combine": map-side partial LWW before the
+        # exchange (classic combiner) — sheds the duplicate factor from the
+        # shuffle at the cost of copying payloads through the partial-agg
+        # hash map and a second (deduped) exchange. MEASURED on the 10M-event
+        # replay (dup factor ~4, ~600B payloads, tmpfs shuffle): repartition
+        # 44.6s vs combine 46.8-47.9s at local[4] — buffer churn outweighs
+        # the byte savings here; combine wins when the duplicate factor is
+        # large or the shuffle fabric (real network) is slower than memcpy.
+        if lww_strategy not in ("combine", "repartition"):
+            raise ValueError(f"unknown lww_strategy: {lww_strategy}")
+        self.lww_strategy = lww_strategy
 
     # ------------------------------------------------------------ watermarks
     def committed_watermarks(self) -> dict[int, int]:
@@ -260,15 +274,29 @@ class CdcEngine:
                 errors.write.mode("append").parquet(self.errors_path)
         valid = batch.filter(ok)
 
-        # ONE exchange for the whole apply: hash-repartition on the target's
-        # layout bucket, then LWW keyed by (_bucket, url) — bucket is a pure
-        # function of url, so semantics are unchanged, but Catalyst sees the
-        # bucket partitioning satisfies the groupBy, the downstream MERGE join,
-        # AND the bucketed write (no further shuffles of the update stream).
-        bucketed = valid.withColumn("_bucket", self.table.bucket_expr("url")).repartition(
-            self.table.n_buckets, F.col("_bucket")
-        )
-        latest = lww_latest(bucketed, ["_bucket", "url"], ["warc_ts", "log_offset"])
+        # Two physical LWW shapes, same semantics (winner per url) — see the
+        # constructor docs for the measured tradeoff:
+        #
+        # "repartition" (default): one explicit exchange of all raw rows;
+        # the groupBy, downstream MERGE join and bucketed write all ride
+        # that single bucket partitioning (no further shuffle anywhere).
+        #
+        # "combine": let the groupBy drive the exchange so Spark plans
+        # partial aggregation BEFORE the shuffle — the map-side combiner. A
+        # keyed changelog keeps all of a url's events in ONE log partition,
+        # so the combiner sheds the whole duplicate factor locally: at dup
+        # factor d the shuffle carries n/d deduped rows twice (agg exchange
+        # + bucket repartition) instead of n raw rows once. Extraction stays
+        # AFTER the final exchange either way — text never rides a shuffle.
+        if self.lww_strategy == "combine":
+            with_bucket = valid.withColumn("_bucket", self.table.bucket_expr("url"))
+            latest = lww_latest(with_bucket, ["_bucket", "url"], ["warc_ts", "log_offset"])
+            latest = latest.repartition(self.table.n_buckets, F.col("_bucket"))
+        else:
+            bucketed = valid.withColumn(
+                "_bucket", self.table.bucket_expr("url")
+            ).repartition(self.table.n_buckets, F.col("_bucket"))
+            latest = lww_latest(bucketed, ["_bucket", "url"], ["warc_ts", "log_offset"])
 
         # converter slot: vectorized text extraction — AFTER dedup, so the
         # Arrow/pandas UDF runs once per surviving key (duplicates, lost race

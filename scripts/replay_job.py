@@ -38,6 +38,20 @@ def main() -> None:
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
+        "--lww-strategy",
+        choices=("combine", "repartition"),
+        default="repartition",
+        help="repartition = one exchange of all raw rows (measured faster "
+        "on this payload mix); combine = map-side partial LWW before the "
+        "exchange (wins at high duplicate factors / slow shuffle fabrics)",
+    )
+    ap.add_argument(
+        "--shuffle-codec",
+        default=None,
+        help="spark.io.compression.codec override (lz4 default; zstd trades "
+        "CPU for fewer bytes on the memory bus)",
+    )
+    ap.add_argument(
         "--n-buckets",
         type=int,
         default=32,
@@ -62,6 +76,8 @@ def main() -> None:
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
     )
+    if args.shuffle_codec:
+        builder = builder.config("spark.io.compression.codec", args.shuffle_codec)
     spark = builder.getOrCreate()
     cores = spark.sparkContext.defaultParallelism
     shuffle = args.shuffle_partitions or 2 * cores
@@ -86,6 +102,7 @@ def main() -> None:
         job_id=f"scale-{cores}",
         extract=not args.no_extract,
         merge_mode=args.merge_mode,
+        lww_strategy=args.lww_strategy,
     )
 
     tune_input_splits(spark, args.changelog)
