@@ -218,7 +218,17 @@ def main() -> None:
         "%Y-%m-%dT%H-%M"
     )
     sha = _git_sha()
-    workdir = tempfile.mkdtemp(prefix="gobblin-scaling-")
+    # Workdir (changelog + table data) on tmpfs, same rationale as the
+    # shuffle dirs below: on a real cluster every executor brings its own
+    # disks, so this single box's ~139 MB/s shared writeback would otherwise
+    # be the measured quantity — and it deflates the RATIO asymmetrically
+    # (the 4N level produces the same output bytes in a quarter of the wall,
+    # so dirty-page throttling hits it ~3x harder per second; observed:
+    # identical 4N replays floored at 44.6s with a tmpfs workdir vs 50.0s
+    # with a /tmp workdir across the same hour).
+    workdir = tempfile.mkdtemp(
+        prefix="gobblin-scaling-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     try:
         zpath = build_pyfiles_zip(workdir)
         changelog = generate_changelog(workdir, args.events)

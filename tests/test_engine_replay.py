@@ -194,3 +194,23 @@ def test_c3_crash_at_every_batch_boundary(spark, tmp_path):
                 oracle_final(clog, pages)
             ), (mode, k)
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lww_strategies_replay_to_identical_state(spark, tmp_path):
+    """'repartition' (one raw-row exchange) and 'combine' (map-side partial
+    LWW, two deduped exchanges) are PHYSICAL variants of the same operator —
+    full replays through each must land byte-identical table state."""
+    prints = []
+    for strat in ("repartition", "combine"):
+        tmp = str(tmp_path / strat)
+        pages, clog, table, _ = setup_pipeline(spark, tmp)
+        eng = CdcEngine(
+            spark,
+            table,
+            StateStore(os.path.join(tmp, "state2")),
+            job_id=f"lww-{strat}",
+            lww_strategy=strat,
+        )
+        eng.run(os.path.join(tmp, "changelog"), max_events_per_batch=150)
+        prints.append(table_fingerprint(visible_with_offset(table)))
+    assert prints[0] == prints[1]
