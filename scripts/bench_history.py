@@ -53,6 +53,25 @@ def _legacy_runs(d: dict, level: str) -> list[float]:
     return list(d["levels"][level]["runs_sec"])
 
 
+def _post_tmpfs(sha: str) -> bool:
+    """Did this session run with the job workdir on tmpfs (commit 5072673)?
+    Pre-fix sessions timed the VM's shared-disk writeback, which taxes the
+    4N side asymmetrically — a different measurement regime."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", REPO, "merge-base", "--is-ancestor", "5072673", sha],
+                capture_output=True,
+                timeout=20,
+            ).returncode
+            == 0
+        )
+    except OSError:
+        return False
+
+
 def session_rows() -> list[tuple]:
     files = {
         os.path.basename(f): json.load(open(f))
@@ -75,10 +94,13 @@ def session_rows() -> list[tuple]:
             ]
             if not nr or not fr:
                 continue
+            sha = d.get("git_sha", "?")
+            tag = f"r4 provenance ({sha}"
+            tag += ", tmpfs workdir)" if _post_tmpfs(sha) else ", PRE-tmpfs-fix workdir)"
             rows.append(
                 (
                     own,
-                    f"r4 provenance ({d.get('git_sha', '?')})",
+                    tag,
                     len(nr),
                     len(fr),
                     min(nr),
@@ -145,11 +167,25 @@ def main() -> None:
         lines.append(f"| {r[0]} | {r[1]} | {r[2]}/{r[3]} | {r[4]} | {r[5]} | {r[6]} | {r[7]} |")
     if r4:
         meds = [r[6] for r in r4]
+        post = [r[6] for r in r4 if "PRE-tmpfs" not in str(r[1])]
+        pre = [r[6] for r in r4 if "PRE-tmpfs" in str(r[1])]
         lines += [
             "",
             f"Round-4 paired medians across {len(r4)} independent session(s): "
             f"{sorted(meds)} (median of medians = "
             f"{statistics.median(meds):.3f}).",
+            "",
+            "Regime split — the tmpfs-workdir fix (commit 5072673) removed the",
+            "VM's ~139 MB/s shared-disk writeback from the measurement (real",
+            "executors bring their own disks; dirty-page throttling taxed the",
+            "4N side ~3x harder per second):",
+            f"- pre-fix sessions (disk workdir): medians {sorted(pre)}" if pre else "",
+            f"- post-fix sessions (tmpfs workdir): medians {sorted(post)} — "
+            "sessions whose rounds carry steal are biased low (see the quiet-"
+            "round criterion at the top of this file); per-round steal is in "
+            "each session JSON."
+            if post
+            else "",
         ]
     lines += [
         "",
