@@ -402,6 +402,99 @@ def q_cdc_completeness_gate(spark, sf_dir):
     return completeness_report(applied, expected)
 
 
+def q_cdc_kafka_wire_decode(spark, sf_dir):
+    """Kafka wire-schema → changelog decode path (≈ KafkaExtractor record
+    decode + converter chain, gobblin-modules/gobblin-kafka-common/.../
+    KafkaExtractor.java): events are ENCODED into the Spark Kafka source's
+    exact wire shape (binary JSON ``value`` with a base64 binary leg,
+    ``partition``/``offset`` ints) and decoded back through
+    ``kafka_wire_to_changelog`` — from_json + unbase64 column expressions,
+    no Python in the record path. The DuckDB oracle computes the identity
+    result directly from ``events``, so any drift in the encode→decode
+    round trip (JSON escaping of the nested props JSON, double formatting,
+    timestamp micros, base64) hash-mismatches."""
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sources.kafka import kafka_wire_to_changelog
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 4000)
+    wire = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.col("event_type"),
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.col("value"),
+                F.col("props"),
+                F.base64(
+                    F.encode(F.concat_ws("|", "event_type", "props"), "UTF-8")
+                ).alias("payload_b64"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("payload_b64", T.StringType()),
+        ]
+    )
+    out = kafka_wire_to_changelog(wire, value_schema)
+    return out.select(
+        F.col("log_partition").cast("long").alias("log_partition"),
+        "log_offset",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "value",
+        "props",
+        F.decode(F.col("payload"), "UTF-8").alias("payload_txt"),
+    )
+
+
+def q_cdc_ack_prefix(spark, sf_dir):
+    """Fine-grained watermark tracking: the contiguous-acked-prefix /
+    pending-islands computation the streaming fence commits by (≈
+    FineGrainedWatermarkTracker.java:181-200, SURVEY §2.10), run through the
+    ENGINE's own ``offset_islands`` (the same code ``apply_stream_batch``
+    collects). Acked set: a dense per-partition offset axis (partition =
+    event_id % 4, offset = event_id div 4) with planted holes (every 97th
+    event missing — an out-of-order tail that hasn't healed). Per partition:
+    the committable prefix high (island containing offset 0, else -1) and
+    the pending remainder. The DuckDB oracle replicates gaps-and-islands
+    independently with window functions."""
+    from gobblin_spark.engine import offset_islands
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("event_id") < 16000) & (F.col("event_id") % 97 != 0)
+    )
+    acked = ev.select(
+        F.pmod(F.col("event_id"), F.lit(4)).alias("log_partition"),
+        F.expr("event_id div 4").alias("log_offset"),
+    )
+    runs = offset_islands(acked)
+    return runs.groupBy("log_partition").agg(
+        F.max(F.when(F.col("lo") == 0, F.col("hi")).otherwise(F.lit(-1))).alias(
+            "prefix_hi"
+        ),
+        F.sum(F.when(F.col("lo") > 0, 1).otherwise(0)).cast("long").alias(
+            "pending_islands"
+        ),
+        F.sum(
+            F.when(F.col("lo") > 0, F.col("hi") - F.col("lo") + 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pending_offsets"),
+    )
+
+
 def q_conv_json_decode(spark, sf_dir):
     """Envelope/JSON payload decode (≈ EnvelopeSchemaConverter /
     JsonStringToJsonIntermediateConverter, gobblin-modules/gobblin-kafka-common/
@@ -802,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_completeness_gate": q_cdc_completeness_gate,
         "cdc_changes_between": q_cdc_changes_between,
         "cdc_changes_per_commit": q_cdc_changes_per_commit,
+        "cdc_kafka_wire_decode": q_cdc_kafka_wire_decode,
+        "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1356,6 +1451,40 @@ def oracle_sql() -> dict[str, str]:
                    (e.n_expected IS NOT NULL
                     AND coalesce(n_applied, 0) = e.n_expected) AS complete
             FROM a FULL OUTER JOIN e ON a.log_partition = e.log_partition
+        """,
+        "cdc_kafka_wire_decode": """
+            SELECT user_id % 8 AS log_partition,
+                   event_id AS log_offset,
+                   user_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   value, props,
+                   event_type || '|' || props AS payload_txt
+            FROM events WHERE event_id <= 4000
+        """,
+        "cdc_ack_prefix": """
+            WITH acked AS (
+              SELECT DISTINCT event_id % 4 AS log_partition,
+                     event_id // 4 AS log_offset
+              FROM events WHERE event_id < 16000 AND event_id % 97 <> 0
+            ),
+            isl AS (
+              SELECT log_partition, log_offset,
+                     log_offset - ROW_NUMBER() OVER (
+                       PARTITION BY log_partition ORDER BY log_offset) AS grp
+              FROM acked
+            ),
+            runs AS (
+              SELECT log_partition, grp,
+                     MIN(log_offset) AS lo, MAX(log_offset) AS hi
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT log_partition,
+                   MAX(CASE WHEN lo = 0 THEN hi ELSE -1 END) AS prefix_hi,
+                   CAST(SUM(CASE WHEN lo > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pending_islands,
+                   CAST(SUM(CASE WHEN lo > 0 THEN hi - lo + 1 ELSE 0 END) AS BIGINT)
+                     AS pending_offsets
+            FROM runs GROUP BY log_partition
         """,
         "writer_time_partitioning": """
             SELECT strftime(ts, '%Y/%m/%d/%H') AS time_partition, count(*) AS n_rows

@@ -48,6 +48,47 @@ from .state import StateStore
 _META_COLS = ("op", "log_partition", "log_offset")
 
 
+def offset_islands(
+    batch_df: DataFrame, committed: dict[int, int] | None = None
+) -> DataFrame:
+    """Gaps-and-islands over a batch's ``(log_partition, log_offset)`` pairs:
+    one row per contiguous run of offsets above the committed watermark
+    (``log_partition, lo, hi``). This is the committable-prefix primitive of
+    the fine-grained tracker (≈ FineGrainedWatermarkTracker.java:181-200 —
+    per-range acks, watermark = largest contiguous acked prefix): the engine
+    advances the watermark over the island that starts at ``committed+1``
+    and carries the disconnected remainder as ``pending_ranges``.
+
+    A missing partition entry in ``committed`` means nothing applied yet
+    (watermark -1). Duplicate offsets collapse; nothing here shuffles more
+    than the (partition, offset) pairs themselves."""
+    from pyspark.sql import Window
+
+    committed = committed or {}
+    cmap = (
+        F.create_map(
+            *[
+                F.lit(x).cast("long")
+                for p, v in sorted(committed.items())
+                for x in (p, v)
+            ]
+        )
+        if committed
+        else F.create_map()
+    )
+    cmt = F.coalesce(F.element_at(cmap, F.col("log_partition").cast("long")), F.lit(-1))
+    w = Window.partitionBy("log_partition").orderBy("log_offset")
+    return (
+        batch_df.select("log_partition", "log_offset", cmt.alias("_cmt"))
+        .filter(F.col("log_offset") > F.col("_cmt"))
+        .dropDuplicates(["log_partition", "log_offset"])
+        .withColumn("_grp", F.col("log_offset") - F.row_number().over(w))
+        .groupBy("log_partition", "_grp")
+        .agg(F.min("log_offset").alias("lo"), F.max("log_offset").alias("hi"))
+        .select("log_partition", "lo", "hi")
+    )
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -146,30 +187,7 @@ class CdcEngine:
         # ``pending_ranges``; the watermark advances over the contiguous
         # prefix and the disconnected remainder is carried (atomically, in
         # the same commit) until the gap heals.
-        from pyspark.sql import Window
-
-        cmap = (
-            F.create_map(
-                *[
-                    F.lit(x).cast("long")
-                    for p, v in sorted(committed.items())
-                    for x in (p, v)
-                ]
-            )
-            if committed
-            else F.create_map()
-        )
-        cmt = F.coalesce(F.element_at(cmap, F.col("log_partition").cast("long")), F.lit(-1))
-        w = Window.partitionBy("log_partition").orderBy("log_offset")
-        runs = (
-            batch_df.select("log_partition", "log_offset", cmt.alias("_cmt"))
-            .filter(F.col("log_offset") > F.col("_cmt"))
-            .dropDuplicates(["log_partition", "log_offset"])
-            .withColumn("_grp", F.col("log_offset") - F.row_number().over(w))
-            .groupBy("log_partition", "_grp")
-            .agg(F.min("log_offset").alias("lo"), F.max("log_offset").alias("hi"))
-            .collect()
-        )
+        runs = offset_islands(batch_df, committed).collect()
         if not runs:
             return {"batch_id": batch_id, "skipped": True}
 
