@@ -67,24 +67,98 @@ def discover_low_watermarks(changelog: DataFrame) -> dict[int, int]:
 
 _PART_DIR_RE = re.compile(r"(?:^|/)log_partition=(\d+)/")
 
-# footer reads are independent ~KB-sized IO ops; a pool keeps plan latency
-# O(files / threads) instead of O(files) — at 10^5 files the difference is
+# footer reads are independent ~KB-sized ops; a pool keeps plan latency
+# O(files / workers) instead of O(files) — at 10^5 files the difference is
 # minutes vs seconds of driver wall (VERDICT r3 #5)
 _FOOTER_THREADS = 32
+# Above this many files, use PROCESSES instead of threads: footer thrift
+# parsing holds the GIL, so on fast storage 32 threads convoy on the lock
+# and run ~10x SLOWER than one thread (measured: 40 s for 50k tmpfs footers
+# threaded vs ~2 s forked — scripts/footer_plan_bench.py). Threads remain
+# the default below the threshold because on object stores the per-file
+# cost is network RTT (GIL released) and fork startup isn't worth paying
+# for small plans.
+_FOOTER_PROCESS_THRESHOLD = 2048
 
 
 def _footer_map(files: list[str], per_file):
-    """Run ``per_file(uri)`` over every file on a thread pool, preserving
+    """Run ``per_file(uri)`` over every file on a worker pool, preserving
     input order. Each call returns a tuple or None; the whole map returns
-    None if ANY file opts out (caller falls back to the scan path)."""
-    from concurrent.futures import ThreadPoolExecutor
+    None if ANY file opts out (caller falls back to the scan path).
+    ``per_file`` must be a module-level function (picklable) — large file
+    lists dispatch to a process pool."""
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
     if len(files) == 1:
         results = [per_file(files[0])]
+    elif len(files) > _FOOTER_PROCESS_THRESHOLD:
+        try:
+            with ProcessPoolExecutor(max_workers=_FOOTER_THREADS) as ex:
+                results = list(
+                    ex.map(per_file, files, chunksize=max(64, len(files) // (_FOOTER_THREADS * 4)))
+                )
+        except (OSError, ValueError):  # fork unavailable: degrade to threads
+            with ThreadPoolExecutor(max_workers=_FOOTER_THREADS) as ex:
+                results = list(ex.map(per_file, files))
     else:
         with ThreadPoolExecutor(max_workers=min(_FOOTER_THREADS, len(files))) as ex:
             results = list(ex.map(per_file, files))
     return None if any(r is None for r in results) else results
+
+
+def _wm_per_file(uri: str) -> tuple[int, int, int] | None:
+    """(partition, min_offset, max_offset) from one file's footer statistics;
+    None opts the whole plan out (non-hive layout / missing stats).
+    Module-level so ``_footer_map`` can dispatch it to a process pool."""
+    import pyarrow.parquet as pq
+
+    m = _PART_DIR_RE.search(uri)
+    if not m:
+        return None
+    p = int(m.group(1))
+    path = uri[7:] if uri.startswith("file://") else uri
+    try:
+        md = pq.ParquetFile(path).metadata
+    except (OSError, ValueError):
+        return None
+    try:
+        off_idx = md.schema.names.index("log_offset")
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(off_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if hi is None:  # zero row groups: carries no offset evidence
+        return None
+    return p, lo, hi
+
+
+def _stats_per_file(uri: str) -> tuple[int, int, int] | None:
+    """(partition, num_rows, on-disk bytes) from one file's footer; on-disk
+    bytes = per-column-chunk ``total_compressed_size`` (row-group
+    ``total_byte_size`` is the UNCOMPRESSED decode size — packing by it
+    distorts balance wherever compression ratios differ). Module-level so
+    ``_footer_map`` can dispatch it to a process pool."""
+    import pyarrow.parquet as pq
+
+    m = _PART_DIR_RE.search(uri)
+    if not m:
+        return None
+    p = int(m.group(1))
+    path = uri[7:] if uri.startswith("file://") else uri
+    try:
+        md = pq.ParquetFile(path).metadata
+    except (OSError, ValueError):
+        return None
+    nbytes = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        nbytes += sum(g.column(i).total_compressed_size for i in range(g.num_columns))
+    return p, md.num_rows, nbytes
 
 
 def footer_watermarks(files: list[str]) -> tuple[dict[int, int], dict[int, int]] | None:
@@ -101,34 +175,7 @@ def footer_watermarks(files: list[str]) -> tuple[dict[int, int], dict[int, int]]
     Returns None (caller falls back to the scan) when any file is outside
     the hive layout or lacks ``log_offset`` statistics.
     """
-    import pyarrow.parquet as pq
-
-    def per_file(uri: str) -> tuple[int, int, int] | None:
-        m = _PART_DIR_RE.search(uri)
-        if not m:
-            return None
-        p = int(m.group(1))
-        path = uri[7:] if uri.startswith("file://") else uri
-        try:
-            md = pq.ParquetFile(path).metadata
-        except (OSError, ValueError):
-            return None
-        try:
-            off_idx = md.schema.names.index("log_offset")
-        except ValueError:
-            return None
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(off_idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if hi is None:  # zero row groups: carries no offset evidence
-            return None
-        return p, lo, hi
-
-    results = _footer_map(files, per_file)
+    results = _footer_map(files, _wm_per_file)
     if results is None:
         return None
     lows: dict[int, int] = {}
@@ -359,28 +406,7 @@ def footer_partition_stats(files: list[str]) -> dict[int, dict] | None:
     ``total_compressed_size`` (what a work-unit packer actually balances
     when the unit of work is "read these files"), unlike the scan variant's
     decoded ``octet_length(html)``. Returns None outside the hive layout."""
-    import pyarrow.parquet as pq
-
-    def per_file(uri: str) -> tuple[int, int, int] | None:
-        m = _PART_DIR_RE.search(uri)
-        if not m:
-            return None
-        p = int(m.group(1))
-        path = uri[7:] if uri.startswith("file://") else uri
-        try:
-            md = pq.ParquetFile(path).metadata
-        except (OSError, ValueError):
-            return None
-        # on-disk bytes = per-column-chunk total_compressed_size (row-group
-        # total_byte_size is the UNCOMPRESSED decode size — packing by it
-        # distorts balance wherever compression ratios differ)
-        nbytes = 0
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            nbytes += sum(g.column(i).total_compressed_size for i in range(g.num_columns))
-        return p, md.num_rows, nbytes
-
-    results = _footer_map(files, per_file)
+    results = _footer_map(files, _stats_per_file)
     if results is None:
         return None
     stats: dict[int, dict] = {}
