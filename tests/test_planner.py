@@ -202,3 +202,41 @@ def test_footer_partition_stats_counts_match_scan(spark, tmp_path):
     flat = str(tmp_path / "flat2")
     df.write.mode("overwrite").parquet(flat)
     assert footer_partition_stats(list(spark.read.parquet(flat).inputFiles())) is None
+
+
+def test_footer_map_process_pool_path(tmp_path):
+    """Above _FOOTER_PROCESS_THRESHOLD files, _footer_map dispatches to a
+    process pool (footer thrift parsing holds the GIL — 32 threads convoy
+    ~10x slower than one thread on fast storage); results must be identical
+    to the threaded path, including the any-file-opts-out -> None contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gobblin_spark import planner
+
+    n_files = planner._FOOTER_PROCESS_THRESHOLD + 8
+    parts = 4
+    files = []
+    for p in range(parts):
+        (tmp_path / f"log_partition={p}").mkdir()
+    for i in range(n_files):
+        p = i % parts
+        base = (i // parts) * 2
+        tbl = pa.table({"log_offset": pa.array([base, base + 1], type=pa.int64())})
+        f = str(tmp_path / f"log_partition={p}" / f"part-{i:05d}.parquet")
+        pq.write_table(tbl, f)
+        files.append(f)
+    fw = planner.footer_watermarks(files)
+    assert fw is not None
+    lows, highs = fw
+    per_part = n_files // parts + (1 if n_files % parts else 0)
+    for p in range(parts):
+        assert lows[p] == 0
+        n_p = len([i for i in range(n_files) if i % parts == p])
+        assert highs[p] == 2 * n_p - 1
+    st = planner.footer_partition_stats(files)
+    assert st is not None and sum(s["n_events"] for s in st.values()) == 2 * n_files
+    # one non-hive file anywhere opts the whole (process-pooled) plan out
+    flat = str(tmp_path / "flat.parquet")
+    pq.write_table(pa.table({"log_offset": pa.array([0], type=pa.int64())}), flat)
+    assert planner.footer_watermarks(files + [flat]) is None
