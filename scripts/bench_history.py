@@ -95,8 +95,12 @@ def session_rows() -> list[tuple]:
             if not nr or not fr:
                 continue
             sha = d.get("git_sha", "?")
+            has_canary = any("membw_pre" in r for r in d.get("rounds", []))
             tag = f"r4 provenance ({sha}"
-            tag += ", tmpfs workdir)" if _post_tmpfs(sha) else ", PRE-tmpfs-fix workdir)"
+            tag += ", tmpfs workdir" if _post_tmpfs(sha) else ", PRE-tmpfs-fix workdir"
+            tag += ", bus canary)" if has_canary else ")"
+            qn = d.get("quiet_rounds")
+            qmed = d.get("scaling_efficiency_quiet")
             rows.append(
                 (
                     own,
@@ -105,7 +109,9 @@ def session_rows() -> list[tuple]:
                     len(fr),
                     min(nr),
                     min(fr),
-                    d["scaling_efficiency"],  # paired median (the criterion)
+                    f"{qmed} over {qn}q" if qmed is not None else (
+                        f"— ({qn} quiet)" if qn is not None else "—"),
+                    d["scaling_efficiency"],  # all-rounds paired median
                     round(min(nr) / min(fr) / 4, 3),
                 )
             )
@@ -137,6 +143,7 @@ def session_rows() -> list[tuple]:
                 len(fr),
                 min(nr),
                 min(fr),
+                "—",  # legacy sessions recorded no quietness signals
                 pm if pm is not None else "—",
                 round(min(nr) / min(fr) / 4, 3),
             )
@@ -153,22 +160,26 @@ def main() -> None:
         "",
         "Every protocol session, session-local numbers (raw JSONs committed in",
         "`bench_sessions/`). Round-4 sessions carry per-run provenance",
-        "(session id, round, git SHA, steal, loadavg) and their paired-median",
-        "column IS the session's PASS/FAIL number; the 2026-08-17/18 legacy",
+        "(session id, round, git SHA, steal, loadavg; bus-canary sessions add",
+        "inter-round membw) and the QUIET-round median is the session's",
+        "PASS/FAIL number (>= 2 quiet rounds required; INCONCLUSIVE",
+        "otherwise); the 2026-08-17/18 legacy",
         "rows ran older code (pre-r4 planner or pre-footer planner) under the",
         "older floor-headline protocol and are kept as history only — they are",
         "never pooled into current estimates (the pooler refuses git-SHA",
         "mismatches).",
         "",
-        "| session | code | runs N/4N | floor N (s) | floor 4N (s) | paired median | session floor eff |",
-        "|---|---|---|---|---|---|---|",
+        "| session | code | runs N/4N | floor N (s) | floor 4N (s) | quiet median | paired median (all rounds) | session floor eff |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        lines.append(f"| {r[0]} | {r[1]} | {r[2]}/{r[3]} | {r[4]} | {r[5]} | {r[6]} | {r[7]} |")
+        lines.append(
+            f"| {r[0]} | {r[1]} | {r[2]}/{r[3]} | {r[4]} | {r[5]} | {r[6]} | {r[7]} | {r[8]} |"
+        )
     if r4:
-        meds = [r[6] for r in r4]
-        post = [r[6] for r in r4 if "PRE-tmpfs" not in str(r[1])]
-        pre = [r[6] for r in r4 if "PRE-tmpfs" in str(r[1])]
+        meds = [r[7] for r in r4]
+        post = [r[7] for r in r4 if "PRE-tmpfs" not in str(r[1])]
+        pre = [r[7] for r in r4 if "PRE-tmpfs" in str(r[1])]
         lines += [
             "",
             f"Round-4 paired medians across {len(r4)} independent session(s): "
