@@ -297,3 +297,26 @@ class IcebergTable:
             f"retain_last => {int(keep_last)})"
         ).collect()
         return [int(r[0]) for r in rows]
+
+    def remove_orphans(self, grace_s: float = 86400.0, now: float | None = None) -> dict:
+        """Iceberg's own ``remove_orphan_files`` procedure — same contract as
+        ``retention.remove_orphans`` on the engine table (unreferenced AND
+        quiescent past the grace window; Iceberg defaults the window to
+        3 days for the identical in-flight-commit race)."""
+        import datetime as _dt
+        import time as _time
+
+        cutoff = (_time.time() if now is None else now) - grace_s
+        older_than = _dt.datetime.fromtimestamp(cutoff, _dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        catalog = self.ident.split(".", 1)[0]
+        rows = self.spark.sql(
+            f"CALL {catalog}.system.remove_orphan_files(table => '{self.ident}', "
+            f"older_than => TIMESTAMP '{older_than}')"
+        ).collect()
+        return {
+            "removed_dirs": [],
+            "removed_files": [r[0] for r in rows],
+            "kept_recent": [],
+        }

@@ -40,9 +40,13 @@ class VersionInfo:
 
 def list_versions(table: SnapshotTable) -> list[VersionInfo]:
     """Version history, NEWEST FIRST (the order the reference's policies
-    contractually receive — NewestKSelectionPolicy.java:140)."""
+    contractually receive — NewestKSelectionPolicy.java:140). Every named-ref
+    head (branch/tag) is flagged ``is_current`` alongside main's head, so the
+    retention rail that protects the current version protects live history
+    lines too (Iceberg expire_snapshots' branch/tag protection)."""
     meta = os.path.join(table.root, "meta")
-    current = table.version
+    protected = {int(r["version"]) for r in table.refs().values()}
+    protected.add(table.version)  # a branch handle protects its own head too
     out = []
     for f in os.listdir(meta):
         if not (f.startswith("v") and f.endswith(".json")):
@@ -59,7 +63,7 @@ def list_versions(table: SnapshotTable) -> list[VersionInfo]:
                 version=int(m["version"]),
                 committed_at=float(m.get("committed_at", 0.0)),
                 data_dirs=frozenset(dirs),
-                is_current=int(m["version"]) == current,
+                is_current=int(m["version"]) in protected,
                 shard_files=frozenset(shard_refs),
             )
         )
@@ -193,3 +197,107 @@ def apply_retention(table: SnapshotTable, policy: RetentionPolicy) -> list[int]:
             if f"data/{d}" not in keep_dirs:
                 shutil.rmtree(os.path.join(data, d), ignore_errors=True)
     return removed
+
+
+def _newest_mtime(path: str) -> float:
+    """Most recent mtime under ``path`` (the path itself for files). A
+    crashed Spark write leaves a ``_temporary`` tree whose leaves may be
+    newer than the top dir's mtime, so the grace check must see them."""
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass
+    return newest
+
+
+def remove_orphans(
+    table: SnapshotTable, grace_s: float = 86400.0, now: float | None = None
+) -> dict:
+    """Delete table-root entries referenced by NO retained manifest and
+    untouched for at least ``grace_s`` seconds — the engine's analogue of
+    Iceberg's ``remove_orphan_files`` action (which defaults to a 3-day
+    grace for the same reason) and the reference's dataset cleaner
+    (gobblin-data-management/.../retention/DatasetCleaner.java).
+
+    What strands orphans: the commit protocol is write-data-then-swap-pointer
+    (lake.py:341-344), so a crash between the two leaves a fully-written but
+    unreferenced ``data/vNNNNNN`` dir (possibly with a Spark ``_temporary``
+    tree), a ``meta/shards/*.tmp`` half-written shard, or an mkstemp stray in
+    ``meta/`` — all invisible to readers, all permanent disk leaks until
+    cleaned. ``apply_retention``/``expire_snapshots`` only sweep when they
+    delete versions; this op sweeps unconditionally.
+
+    The grace window is the correctness rail: a commit IN FLIGHT has already
+    written its data dir but not yet swapped the pointer, so "unreferenced"
+    alone is not deletable — "unreferenced AND quiescent for grace_s" is.
+    Never deletes manifests, the ``_current`` pointer, or anything a retained
+    manifest references.
+
+    Scale shape: driver-side metadata op — O(versions x generations) manifest
+    union (shards load lazily per manifest) + one listdir of ``data/`` and
+    ``meta/shards/``; the recursive mtime walk runs only on orphan
+    CANDIDATES, which are few by construction (one per crash). No data scan.
+    """
+    cutoff = (time.time() if now is None else now) - grace_s
+    versions = list_versions(table)
+    keep_dirs: set[str] = set()
+    keep_shards: set[str] = set()
+    for v in versions:
+        keep_dirs |= v.data_dirs
+        keep_shards |= v.shard_files
+    removed_dirs: list[str] = []
+    removed_files: list[str] = []
+    kept_recent: list[str] = []
+
+    data = os.path.join(table.root, "data")
+    if os.path.isdir(data):
+        for d in sorted(os.listdir(data)):
+            rel = f"data/{d}"
+            if rel in keep_dirs:
+                continue
+            full = os.path.join(data, d)
+            if _newest_mtime(full) >= cutoff:
+                kept_recent.append(rel)
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed_dirs.append(rel)
+            else:
+                os.unlink(full)
+                removed_files.append(rel)
+
+    meta = os.path.join(table.root, "meta")
+    shards_dir = os.path.join(meta, "shards")
+    if os.path.isdir(shards_dir):
+        for fn in sorted(os.listdir(shards_dir)):
+            rel = f"meta/shards/{fn}"
+            if rel in keep_shards:
+                continue
+            full = os.path.join(shards_dir, fn)
+            if os.path.getmtime(full) >= cutoff:
+                kept_recent.append(rel)
+                continue
+            os.unlink(full)
+            removed_files.append(rel)
+    # mkstemp / .tmp strays from crashed pointer or manifest writes; the
+    # whitelist (manifests, pointer, shards dir) is never touched
+    if os.path.isdir(meta):
+        for fn in sorted(os.listdir(meta)):
+            if not (fn.endswith(".tmp") or fn.startswith("tmp")):
+                continue
+            full = os.path.join(meta, fn)
+            if not os.path.isfile(full):
+                continue
+            if os.path.getmtime(full) >= cutoff:
+                kept_recent.append(f"meta/{fn}")
+                continue
+            os.unlink(full)
+            removed_files.append(f"meta/{fn}")
+    return {
+        "removed_dirs": removed_dirs,
+        "removed_files": removed_files,
+        "kept_recent": kept_recent,
+    }

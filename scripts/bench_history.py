@@ -101,6 +101,20 @@ def session_rows() -> list[tuple]:
             tag += ", bus canary)" if has_canary else ")"
             qn = d.get("quiet_rounds")
             qmed = d.get("scaling_efficiency_quiet")
+            if qn is None and d.get("rounds"):
+                # sessions recorded before the quiet flag landed: back-fill
+                # with the same rule the pooler uses (steal < 0.001 on both
+                # sides; bus canary >= 18 GB/s where recorded)
+                q = [
+                    r["efficiency"]
+                    for r in d["rounds"]
+                    if r.get("steal_n", 1.0) < 0.001
+                    and r.get("steal_4n", 1.0) < 0.001
+                    and (r.get("membw_pre") is None or r["membw_pre"] >= 18.0)
+                    and (r.get("membw_post") is None or r["membw_post"] >= 18.0)
+                ]
+                qn = len(q)
+                qmed = round(statistics.median(q), 3) if len(q) >= 2 else None
             rows.append(
                 (
                     own,

@@ -396,6 +396,13 @@ def report_only(args) -> None:
             "rounds/runs provenance-deduped; pooled floor supplementary only, "
             "never decides PASS"
         ),
+        "reproduce": (
+            "each session: `python scripts/scaling_bench.py --events "
+            f"{ref['n_events']} --n {small_c} --merge-mode {ref['merge_mode']} "
+            "--repeats 3`; this pooled verdict: `python scripts/scaling_bench.py "
+            "--report-only --pool-json bench_sessions/<job-code-identical "
+            "session JSONs>` (the pooler refuses config/SHA mismatches)"
+        ),
     }
     print(json.dumps(result))
 
@@ -753,8 +760,7 @@ multi-executor cluster each executor brings its own memory bus and local
 disks, which is why the job is shipped exactly as the north rule states
 (spark-submit --py-files, master-agnostic) rather than tuned to local mode.
 
-Reproduce: `python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n} \\
-    --merge-mode {result["merge_mode"]} --repeats {args.repeats}`
+Reproduce: {result.get("reproduce", f'`python scripts/scaling_bench.py --events {result["n_events"]} --n {args.n} --merge-mode {result["merge_mode"]} --repeats {args.repeats}`')}
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

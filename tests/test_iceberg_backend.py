@@ -166,3 +166,25 @@ def test_delete_where_null_safe(backend, spark, tmp_path):
     t.delete_where(F.col("text").contains("purge"))
     # NULL predicate (text is NULL for c) keeps the row
     assert {r["url"] for r in t.read_visible().collect()} == {"a", "c"}
+
+
+def test_remove_orphans_conformance(backend, spark, tmp_path):
+    """Orphan sweep contract on both backends: unreferenced + quiescent past
+    the grace window is deletable; committed data is never touched. The
+    snapshot backend runs the engine's own sweep; the iceberg
+    parametrization calls the catalog's remove_orphan_files procedure."""
+    t = backend.make(spark, str(tmp_path))
+    t.merge(_updates(spark, [("a", "v1", 1, 1), ("b", "v2", 1, 2)]))
+    before = {(r["url"], r["text"]) for r in t.read_visible().collect()}
+    if backend.name == "snapshot":
+        from gobblin_spark.retention import remove_orphans
+
+        strand = os.path.join(t.root, "data", "v000077")
+        os.makedirs(strand)
+        open(os.path.join(strand, "part-0.parquet"), "wb").write(b"x")
+        res = remove_orphans(t, grace_s=5.0, now=os.path.getmtime(strand) + 60.0)
+        assert res["removed_dirs"] == ["data/v000077"]
+    else:
+        res = t.remove_orphans(grace_s=5.0)
+        assert isinstance(res["removed_files"], list)
+    assert {(r["url"], r["text"]) for r in t.read_visible().collect()} == before

@@ -97,3 +97,65 @@ def test_apply_retention_never_deletes_current(spark, tmp_path):
     removed = apply_retention(t, TimeBasedRetentionPolicy(0.0, now=10**12))
     assert t.version not in removed
     assert {r["url"] for r in t.read_visible().collect()} == {"a"}
+
+
+def test_remove_orphans_sweeps_crash_strands(spark, tmp_path):
+    """Crash-stranded artifacts (written-but-never-committed data dir with a
+    Spark _temporary tree, half-written shard .tmp, mkstemp stray in meta/)
+    are swept once quiescent past the grace window; everything a retained
+    manifest references survives, and the table stays byte-identical."""
+    from gobblin_spark.retention import remove_orphans
+
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, key="url", n_buckets=4
+    )
+    for i in range(3):
+        t.merge(_updates(spark, [(f"u{i}", f"v{i}", 1, i)]))
+    before = {(r["url"], r["text"]) for r in t.read_visible().collect()}
+
+    # simulate a crash between data write and pointer swap
+    strand = os.path.join(t.root, "data", "v000099")
+    os.makedirs(os.path.join(strand, "_temporary", "0"))
+    open(os.path.join(strand, "part-00000.parquet"), "wb").write(b"x" * 64)
+    os.makedirs(os.path.join(t.root, "meta", "shards"), exist_ok=True)
+    open(os.path.join(t.root, "meta", "shards", "s_999.json.tmp"), "w").write("{}")
+    open(os.path.join(t.root, "meta", "tmpabc123"), "w").write("")
+
+    now = os.path.getmtime(strand) + 10.0
+    # inside the grace window: nothing is deleted, strands reported as recent
+    res = remove_orphans(t, grace_s=3600.0, now=now)
+    assert res["removed_dirs"] == [] and res["removed_files"] == []
+    assert "data/v000099" in res["kept_recent"]
+    assert os.path.isdir(strand)
+
+    # past the grace window: strands swept, referenced dirs untouched
+    res = remove_orphans(t, grace_s=5.0, now=now + 60.0)
+    assert res["removed_dirs"] == ["data/v000099"]
+    assert sorted(res["removed_files"]) == [
+        "meta/shards/s_999.json.tmp",
+        "meta/tmpabc123",
+    ]
+    assert not os.path.exists(strand)
+    live_dirs = set().union(*(v.data_dirs for v in list_versions(t)))
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.root, "data"))}
+    assert on_disk == live_dirs
+    assert {(r["url"], r["text"]) for r in t.read_visible().collect()} == before
+    # manifests and the pointer are never candidates
+    assert os.path.exists(os.path.join(t.root, "meta", "_current"))
+
+
+def test_remove_orphans_spares_all_retained_history(spark, tmp_path):
+    """Every version still on disk (not just the current one) keeps its data:
+    time travel to any retained manifest must survive an orphan sweep."""
+    from gobblin_spark.retention import remove_orphans
+
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, key="url", n_buckets=4
+    )
+    for i in range(3):
+        t.merge(_updates(spark, [(f"u{i}", f"v{i}", 1, i)]))
+    res = remove_orphans(t, grace_s=0.0, now=os.path.getmtime(t.root) + 10**6)
+    assert res["removed_dirs"] == [] and res["removed_files"] == []
+    # historical read still works after the sweep
+    old = t.read(at_version=1)
+    assert old.count() >= 1
