@@ -163,9 +163,10 @@ def _bucket_file_counts(out_path: str) -> dict[int, int]:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, ref: str = "main"):
         self.spark = spark
         self.root = root
+        self.ref = ref  # named history line this handle reads/commits ("main" = meta/_current)
         self._manifest: dict | None = None
 
     # ---------------------------------------------------------------- meta
@@ -209,22 +210,28 @@ class SnapshotTable:
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "meta", "_current"))
 
+    def _load_manifest(self, v: int) -> dict:
+        with open(os.path.join(self.root, "meta", f"v{v:06d}.json")) as f:
+            m = json.load(f)
+        if m.get("bucket_shards") is not None:
+            # sharded persistence: the in-memory index is LAZY — a shard
+            # file is read only when one of its buckets is actually
+            # touched, so a pruned read or an O(batch) commit never pays
+            # O(n_buckets) driver IO/memory (full iteration still loads
+            # everything, for whole-table ops)
+            m["buckets"] = LazyBucketIndex(
+                self.root, m.pop("bucket_shards"), int(m["manifest_shards"])
+            )
+        return m
+
     def manifest(self) -> dict:
         if self._manifest is None:
-            with open(os.path.join(self.root, "meta", "_current")) as f:
-                v = int(f.read().strip())
-            with open(os.path.join(self.root, "meta", f"v{v:06d}.json")) as f:
-                m = json.load(f)
-            if m.get("bucket_shards") is not None:
-                # sharded persistence: the in-memory index is LAZY — a shard
-                # file is read only when one of its buckets is actually
-                # touched, so a pruned read or an O(batch) commit never pays
-                # O(n_buckets) driver IO/memory (full iteration still loads
-                # everything, for whole-table ops)
-                m["buckets"] = LazyBucketIndex(
-                    self.root, m.pop("bucket_shards"), int(m["manifest_shards"])
-                )
-            self._manifest = m
+            if self.ref == "main":
+                with open(os.path.join(self.root, "meta", "_current")) as f:
+                    v = int(f.read().strip())
+            else:
+                v = int(self._read_ref(self.ref)["version"])
+            self._manifest = self._load_manifest(v)
         return self._manifest
 
     @property
@@ -253,6 +260,7 @@ class SnapshotTable:
         return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
 
     def _commit(self, manifest: dict) -> None:
+        self._assert_writable()  # tags refuse commits
         meta = os.path.join(self.root, "meta")
         manifest["committed_at"] = time.time()  # read by time-based retention
         os.makedirs(meta, exist_ok=True)
@@ -338,10 +346,14 @@ class SnapshotTable:
         with open(path + ".tmp", "w") as f:
             json.dump(persisted, f, indent=1)
         os.replace(path + ".tmp", path)
-        fd, tmp = tempfile.mkstemp(dir=meta)
-        with os.fdopen(fd, "w") as f:
-            f.write(str(manifest["version"]))
-        os.replace(tmp, os.path.join(meta, "_current"))  # THE atomic commit point
+        if self.ref == "main":
+            fd, tmp = tempfile.mkstemp(dir=meta)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(manifest["version"]))
+            os.replace(tmp, os.path.join(meta, "_current"))  # THE atomic commit point
+        else:
+            # branch handle: same atomic-rename commit point, on the ref file
+            self._write_ref(self.ref, manifest["version"], "branch")
         self._manifest = manifest
 
     def update_properties(self, delta: dict) -> None:
@@ -349,8 +361,159 @@ class SnapshotTable:
         m = dict(self.manifest())
         m["properties"] = {**m["properties"], **delta}
         m["parent"] = m["version"]
-        m["version"] += 1
+        m["version"] = self._next_version(m["version"] + 1)
         self._commit(m)
+
+    # ----------------------------------------------------- named refs (WAP)
+    # Iceberg-style branches and tags (SnapshotRef): a ref is a named pointer
+    # to a manifest version, stored as meta/refs/<name>.json and swapped with
+    # the same atomic-rename protocol as meta/_current ("main" IS the implicit
+    # branch behind _current). Branches are writable history lines — the
+    # write-audit-publish (WAP) staging pattern: the engine commits batches to
+    # an audit branch, quality gates read the branch, and fast_forward()
+    # publishes the audited snapshot to main with one pointer swap, atomic and
+    # O(1) regardless of how many commits the branch accumulated. Tags are
+    # immutable named snapshots (release markers). Re-expresses Gobblin's
+    # staged publish (DataPublisher staging->final move) on the snapshot layer.
+    _REF_NAME_OK = staticmethod(
+        lambda s: bool(s) and s != "main" and all(c.isalnum() or c in "._-" for c in s)
+    )
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "meta", "refs")
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def _read_ref(self, name: str) -> dict:
+        try:
+            with open(self._ref_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
+
+    def _write_ref(self, name: str, version: int, ref_type: str) -> None:
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._refs_dir())
+        with os.fdopen(fd, "w") as f:
+            json.dump({"type": ref_type, "version": int(version)}, f)
+        os.replace(tmp, self._ref_path(name))  # atomic, same rail as _current
+
+    def refs(self) -> dict[str, dict]:
+        """Every named ref incl. the implicit ``main`` branch, name → {type, version}."""
+        out = {"main": {"type": "branch", "version": SnapshotTable(self.spark, self.root).version}}
+        if os.path.isdir(self._refs_dir()):
+            for fn in sorted(os.listdir(self._refs_dir())):
+                if fn.endswith(".json"):
+                    out[fn[:-5]] = self._read_ref(fn[:-5])
+        return out
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "SnapshotTable":
+        """New writable history line at ``at_version`` (default: this
+        handle's head). Returns a handle pinned to the branch."""
+        return self._create_ref(name, at_version, "branch")
+
+    def create_tag(self, name: str, at_version: int | None = None) -> None:
+        """Immutable named snapshot (release marker); protected from
+        retention like any ref head, refuses commits."""
+        self._create_ref(name, at_version, "tag")
+
+    def _create_ref(self, name, at_version, ref_type) -> "SnapshotTable":
+        if not SnapshotTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name: {name!r}")
+        if os.path.exists(self._ref_path(name)):
+            raise ValueError(f"ref already exists: {name!r}")
+        v = self.version if at_version is None else int(at_version)
+        self.manifest_at(v)  # must reference a retained snapshot
+        self._write_ref(name, v, ref_type)
+        return SnapshotTable(self.spark, self.root, ref=name)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle pinned to an existing ref (branch: read+write; tag: read-only)."""
+        self._read_ref(name)
+        return SnapshotTable(self.spark, self.root, ref=name)
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a branch/tag pointer. Its head snapshot loses ref
+        protection and becomes an ordinary retained version (retention
+        policies may then expire it and GC its unshared data)."""
+        try:
+            os.unlink(self._ref_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name!r}") from None
+
+    def _assert_writable(self) -> None:
+        if self.ref != "main" and self._read_ref(self.ref)["type"] != "branch":
+            raise ValueError(f"ref {self.ref!r} is a tag — tags are immutable")
+
+    def _next_version(self, proposed: int) -> int:
+        """Version number for the next commit. With no named refs this is the
+        caller's head+1 unchanged — a crash-stranded manifest is overwritten
+        by the replay, the original single-line protocol. Once refs exist,
+        history has multiple lines sharing one version namespace, so numbers
+        are allocated past every manifest on disk (collision would cross-link
+        lines AND let a data-dir overwrite clobber another line's files); a
+        crashed commit then strands a phantom manifest that retention or
+        expire_snapshots GCs like any non-ref, non-current version."""
+        refs = self._refs_dir()
+        try:
+            if not any(f.endswith(".json") for f in os.listdir(refs)):
+                return proposed
+        except FileNotFoundError:
+            return proposed
+        meta = os.path.join(self.root, "meta")
+        taken = [
+            int(f[1:-5])
+            for f in os.listdir(meta)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        ]
+        return max([proposed] + [t + 1 for t in taken])
+
+    def is_ancestor(self, anc: int, head: int) -> bool:
+        """True iff ``anc`` is on ``head``'s parent chain (or equal). Raises
+        if the chain crosses an expired snapshot before reaching ``anc`` —
+        expired history cannot silently pass as diverged or vice versa."""
+        v = head
+        while v != anc:
+            path = os.path.join(self.root, "meta", f"v{v:06d}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"snapshot v{v} on the ancestry chain has been expired; "
+                    f"cannot verify v{anc} is an ancestor of v{head}"
+                )
+            with open(path) as f:
+                p = json.load(f).get("parent")
+            if p is None or p >= v:
+                return False
+            v = p
+        return True
+
+    def fast_forward(self, from_ref: str) -> int:
+        """Publish: move THIS handle's pointer to ``from_ref``'s head —
+        allowed only when the current head is an ancestor of the target
+        (true fast-forward; diverged lines must be re-merged upstream, same
+        contract as Iceberg's fast_forward procedure). One atomic pointer
+        swap, O(1) in commits published — this is the WAP publish step."""
+        self._assert_writable()
+        head = int(self._read_ref(from_ref)["version"])
+        cur = self.version
+        if head == cur:
+            return head
+        if not self.is_ancestor(cur, head):
+            raise ValueError(
+                f"cannot fast-forward {self.ref!r} (v{cur}) to {from_ref!r} "
+                f"(v{head}): histories diverged"
+            )
+        meta = os.path.join(self.root, "meta")
+        if self.ref == "main":
+            fd, tmp = tempfile.mkstemp(dir=meta)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(head))
+            os.replace(tmp, os.path.join(meta, "_current"))
+        else:
+            self._write_ref(self.ref, head, "branch")
+        self._manifest = None
+        return head
 
     # ---------------------------------------------------------------- read
     @staticmethod
@@ -372,13 +535,7 @@ class SnapshotTable:
                 f"snapshot v{version} is not retained (expired or never "
                 f"committed); current={self.manifest()['version']}"
             )
-        with open(path) as f:
-            m = json.load(f)
-        if m.get("bucket_shards") is not None:
-            m["buckets"] = LazyBucketIndex(
-                self.root, m.pop("bucket_shards"), int(m["manifest_shards"])
-            )
-        return m
+        return self._load_manifest(version)
 
     def changed_buckets(self, m_from: dict, m_to: dict) -> list[int]:
         """Buckets whose manifest entries differ between two snapshots — the
@@ -522,11 +679,27 @@ class SnapshotTable:
                 return self.changes_between(v_from, v_to).withColumn(
                     "_commit_version", F.lit(v_to).cast("int")
                 )
+            # Walk the PARENT CHAIN, not a contiguous number range: named
+            # refs (branches) share one version namespace, so a history
+            # line's commit numbers have gaps wherever another line
+            # committed in between. manifest_at raises on an expired
+            # intermediate — per_commit cannot silently degrade to net.
+            chain: list[tuple[int, int]] = []  # (parent, version), newest first
+            v = v_to
+            while v != v_from:
+                p = self.manifest_at(v).get("parent")
+                if p is None or p >= v:
+                    raise ValueError(
+                        f"v{v_from} is not an ancestor of v{v_to} on this "
+                        f"history line — per_commit needs a linear window"
+                    )
+                chain.append((p, v))
+                v = p
             parts = [
-                self.changes_between(v - 1, v).withColumn(
+                self.changes_between(p, v).withColumn(
                     "_commit_version", F.lit(v).cast("int")
                 )
-                for v in range(v_from + 1, v_to + 1)
+                for p, v in reversed(chain)
             ]
             out = parts[0]
             for p in parts[1:]:
@@ -651,7 +824,7 @@ class SnapshotTable:
             u = u.repartition(self.n_buckets, F.col("_bucket"))
 
         if mode == "delta":
-            new_version = m["version"] + 1
+            new_version = self._next_version(m["version"] + 1)
             data_rel = f"data/v{new_version:06d}"
             out_path = os.path.join(self.root, data_rel)
             u.select([*names, "_bucket"]).write.mode("overwrite").partitionBy(
@@ -789,7 +962,7 @@ class SnapshotTable:
             F.coalesce(F.col("t__bucket"), F.col("u__bucket")).alias("_bucket"), *out_cols
         )
 
-        new_version = m["version"] + 1
+        new_version = self._next_version(m["version"] + 1)
         data_rel = f"data/v{new_version:06d}"
         out_path = os.path.join(self.root, data_rel)
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
@@ -850,7 +1023,7 @@ class SnapshotTable:
         df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
-        new_version = m["version"] + 1
+        new_version = self._next_version(m["version"] + 1)
         data_rel = f"data/v{new_version:06d}"
         df = df.repartition(self.n_buckets, F.col("_bucket"))
         df.write.mode("overwrite").partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
@@ -880,7 +1053,7 @@ class SnapshotTable:
         # column null-filled by schema evolution) must KEEP the row — only
         # definitively-matching rows are purged.
         kept = df.filter(F.col("_deleted") | ~F.coalesce(condition, F.lit(False)))
-        new_version = m["version"] + 1
+        new_version = self._next_version(m["version"] + 1)
         data_rel = f"data/v{new_version:06d}"
         kept = kept.repartition(self.n_buckets, F.col("_bucket"))
         kept.write.mode("overwrite").partitionBy("_bucket").parquet(
@@ -909,6 +1082,10 @@ class SnapshotTable:
             int(f[1:-5]) for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
         )
         keep = set(versions[-keep_last:])
+        # every named-ref head (branch or tag) is pinned — expiring a branch
+        # head would sever a live history line (Iceberg's expire_snapshots
+        # has the same branch/tag protection)
+        keep |= {int(r["version"]) for r in self.refs().values()}
         keep_dirs: set[str] = set()
         keep_shards: set[str] = set()
         for v in keep:
