@@ -293,6 +293,70 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+def q_cdc_wap_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH end-to-end (Iceberg SnapshotRef branches +
+    fast_forward; Gobblin staged publish, BaseDataPublisher staging→final):
+    events ≤ 6000 replay into MAIN through the engine; the rest are STAGED
+    on an audit branch by a second engine (own watermark line), audited
+    there, and published to main with one ancestry-checked atomic pointer
+    swap. The returned state is main AFTER publish — the DuckDB oracle is
+    the same independent full-history LWW window fold as cdc_engine_replay,
+    so the value-hash witnesses that staging+publish is exactly equivalent
+    to direct ingestion (and the mid-state assert witnesses isolation)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+    root = tempfile.mkdtemp(prefix="wap-publish-")
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    CdcEngine(spark, table, job_id="wap-main", extract=False).run(
+        changelog.filter(F.col("log_offset") <= 6000)
+    )
+    main_mid = table.version
+    branch = table.create_branch("audit")
+    # offsets are global event_ids, so a global ≤6000 split leaves per-
+    # partition gaps between main's committed watermark and the staged
+    # stream's floor; "earliest" resumes from the staged floor (nothing was
+    # lost — the gap offsets were applied by the main run)
+    CdcEngine(
+        spark, branch, job_id="wap-stage", extract=False, reset_policy="earliest"
+    ).run(changelog.filter(F.col("log_offset") > 6000))
+    # audit on the BRANCH; main must still sit at the pre-staging snapshot
+    assert branch.read().count() >= 0
+    assert SnapshotTable(spark, f"{root}/pages").version == main_mid
+    table.fast_forward("audit")
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
     scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
@@ -899,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
         "conv_json_decode": q_conv_json_decode,
         "conv_url_canonical": q_conv_url_canonical,
@@ -1298,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": snapshot,
         "cdc_apply_merge": snapshot,  # merge(≤5000, >5000) ≡ LWW over all
         "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
+        "cdc_wap_publish": snapshot,  # stage-on-branch + publish ≡ direct ingest
         "cdc_watermark_discovery": """
             SELECT user_id % 8 AS log_partition, max(event_id) AS high,
                    count(*) AS n_events

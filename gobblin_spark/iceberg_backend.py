@@ -88,9 +88,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 class IcebergTable:
     """``SnapshotTable``-compatible sink over an Iceberg catalog table."""
 
-    def __init__(self, spark: SparkSession, ident: str):
+    def __init__(self, spark: SparkSession, ident: str, ref: str = "main"):
         self.spark = spark
         self.ident = ident  # catalog.namespace.table
+        # named history line (Iceberg SnapshotRef); non-main handles read and
+        # write through the `<table>.branch_<name>` identifier
+        self.ref = ref
+
+    def _sql_ident(self) -> str:
+        return self.ident if self.ref == "main" else f"{self.ident}.branch_{self.ref}"
 
     # ---------------------------------------------------------------- meta
     @classmethod
@@ -141,11 +147,11 @@ class IcebergTable:
     @property
     def version(self) -> int:
         """Current snapshot id (Iceberg's analog of the manifest version),
-        from the main branch ref — NOT max(committed_at), which ties for
+        from this handle's branch ref — NOT max(committed_at), which ties for
         same-millisecond commits. Falls back to the history table (ordered
         by made_current_at then snapshot_id) for catalogs without refs."""
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ident}.refs WHERE name = 'main'"
+            f"SELECT snapshot_id FROM {self.ident}.refs WHERE name = '{self.ref}'"
         ).collect()
         if row:
             return int(row[0][0])
@@ -192,7 +198,7 @@ class IcebergTable:
         (Iceberg's murmur3 ``bucket(N, key)`` transform): the filter uses
         ``storage_bucket_expr``, which matches the partition layout and
         therefore prunes data files — correctness and pruning agree."""
-        out = self.spark.table(self.ident)
+        out = self.spark.table(self._sql_ident())
         if buckets is not None:
             out = out.filter(
                 self.storage_bucket_expr().isin([int(b) for b in buckets])
@@ -238,7 +244,7 @@ class IcebergTable:
         u = conform(updates.drop("_bucket"), full)
 
         if mode == "delta":
-            u.writeTo(self.ident).append()
+            u.writeTo(self._sql_ident()).append()
             self.update_properties({_DIRTY_PROP: "true", **(properties or {})})
             return {"version": self.version, "mode": "delta", "schema_changed": schema_changed}
 
@@ -248,7 +254,7 @@ class IcebergTable:
         try:
             self.spark.sql(
                 f"""
-                MERGE INTO {self.ident} t USING {view} u
+                MERGE INTO {self._sql_ident()} t USING {view} u
                 ON t.`{key}` = u.`{key}`
                 WHEN MATCHED AND struct(u._version_ts, u._version_off)
                                > struct(t._version_ts, t._version_off)
@@ -271,7 +277,7 @@ class IcebergTable:
             df = df.filter(~F.col("_deleted"))
         # full-table replace in one snapshot (dynamic partition overwrite
         # would keep files in partitions the fold emptied out)
-        df.writeTo(self.ident).overwrite(F.lit(True))
+        df.writeTo(self._sql_ident()).overwrite(F.lit(True))
         catalog = self.ident.split(".", 1)[0]
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{self.ident}')"
@@ -285,7 +291,7 @@ class IcebergTable:
         rows where the predicate is NULL are KEPT."""
         df = self.read(include_hidden=True)
         kept = df.filter(F.col("_deleted") | ~F.coalesce(condition, F.lit(False)))
-        kept.writeTo(self.ident).overwrite(F.lit(True))
+        kept.writeTo(self._sql_ident()).overwrite(F.lit(True))
         if properties:
             self.update_properties(properties)
         return {"version": self.version}
@@ -320,3 +326,50 @@ class IcebergTable:
             "removed_files": [r[0] for r in rows],
             "kept_recent": [],
         }
+
+    # ----------------------------------------------------- named refs (WAP)
+    # Iceberg's native SnapshotRef surface, same contract as
+    # SnapshotTable.create_branch/branch/fast_forward: branch handles route
+    # reads and writes through the `<table>.branch_<name>` identifier
+    # (_sql_ident), so the engine can stage micro-batches on an audit branch
+    # and publish with the catalog's fast_forward procedure.
+    def refs(self) -> dict[str, dict]:
+        rows = self.spark.sql(
+            f"SELECT name, type, snapshot_id FROM {self.ident}.refs"
+        ).collect()
+        return {
+            r["name"]: {"type": r["type"].lower(), "version": int(r["snapshot_id"])}
+            for r in rows
+        }
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "IcebergTable":
+        at = f" AS OF VERSION {int(at_version)}" if at_version is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.ident} CREATE BRANCH `{name}`{at}")
+        return IcebergTable(self.spark, self.ident, ref=name)
+
+    def create_tag(self, name: str, at_version: int | None = None) -> None:
+        at = f" AS OF VERSION {int(at_version)}" if at_version is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.ident} CREATE TAG `{name}`{at}")
+
+    def branch(self, name: str) -> "IcebergTable":
+        if name not in self.refs():
+            raise KeyError(f"no such ref: {name!r}")
+        return IcebergTable(self.spark, self.ident, ref=name)
+
+    def drop_ref(self, name: str) -> None:
+        kind = self.refs().get(name, {}).get("type")
+        if kind is None:
+            raise KeyError(f"no such ref: {name!r}")
+        stmt = "DROP TAG" if kind == "tag" else "DROP BRANCH"
+        self.spark.sql(f"ALTER TABLE {self.ident} {stmt} `{name}`")
+
+    def fast_forward(self, from_ref: str) -> int:
+        """Publish: move THIS handle's branch to ``from_ref``'s head via the
+        catalog's fast_forward procedure (ancestry-checked by Iceberg itself
+        — diverged lines are refused, same as the stand-in)."""
+        catalog = self.ident.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.fast_forward(table => '{self.ident}', "
+            f"branch => '{self.ref}', to => '{from_ref}')"
+        )
+        return self.version

@@ -188,3 +188,23 @@ def test_remove_orphans_conformance(backend, spark, tmp_path):
         res = t.remove_orphans(grace_s=5.0)
         assert isinstance(res["removed_files"], list)
     assert {(r["url"], r["text"]) for r in t.read_visible().collect()} == before
+
+
+def test_wap_branch_conformance(backend, spark, tmp_path):
+    """Branch/publish contract on both backends: a branch handle runs the
+    sink surface on its own line (main isolated), publish is an
+    ancestry-checked fast_forward, drop_ref releases the name. The snapshot
+    backend drives the engine's ref files; the iceberg parametrization
+    drives the catalog's native SnapshotRef surface (CREATE BRANCH /
+    branch_<name> identifier / system.fast_forward)."""
+    t = backend.make(spark, str(tmp_path))
+    t.merge(_updates(spark, [("a", "base", 1, 1)]))
+    b = t.create_branch("audit")
+    b.merge(_updates(spark, [("b", "staged", 2, 2)]))
+    assert {r["url"] for r in t.read_visible().collect()} == {"a"}
+    assert {r["url"] for r in b.read_visible().collect()} == {"a", "b"}
+    assert t.refs()["audit"]["type"] == "branch"
+    t.fast_forward("audit")
+    assert {r["url"] for r in t.read_visible().collect()} == {"a", "b"}
+    t.drop_ref("audit")
+    assert "audit" not in t.refs()
