@@ -31,14 +31,15 @@ Estimator policy (round-4 revision, from the round-3 audit):
   reported as supplementary evidence only, and only counts as CORROBORATED
   when each level's minimum is within ``FLOOR_TOL`` (10%) of the second-best
   run from a *different* round or session. The floor never decides PASS.
-- Every run carries provenance: ``session`` id, ``round`` index, and the git
-  SHA of the code that produced it. ``--pool-json`` dedupes runs by
-  (session, level, index) and refuses to pool sessions recorded under a
-  different git SHA or config.
+- Every run carries provenance: ``session`` id, ``round`` index, the git SHA
+  and the measured-job-code digest of the code that produced it.
+  ``--pool-json`` dedupes runs by (session, level, index) and refuses to pool
+  sessions recorded under a different job-code digest or config.
 - ``--report-only --pool-json f1.json f2.json ...`` runs nothing: it pools
-  the named session files (config-matched; SHAs verified job-code-identical
-  by ``git diff`` over the measured paths, and required to contain the
-  tmpfs-workdir fix — a measurement-regime change), dedupes rounds and runs
+  the named session files (config-matched; job-code identity verified by a
+  content digest over the repo-local import closure of replay_job.py at each
+  session's SHA, and required to contain the tmpfs-workdir fix — a
+  measurement-regime change), dedupes rounds and runs
   by provenance, and rewrites BENCH.md with the pooled quiet-median verdict
   and every session's rounds. This is how the committed BENCH.md aggregates
   multiple sessions without re-running the job.
@@ -63,10 +64,6 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_TOL = 0.10  # floor corroboration tolerance (fraction of the minimum)
 QUIET_STEAL = 0.001  # a round is quiet iff both runs' steal fractions are below
-# the job code whose identity --report-only pooling requires across sessions;
-# everything else in the repo (docs, tests, bench artifacts) cannot change
-# what replay_job.py measures
-JOB_PATHS = ("gobblin_spark", "scripts/replay_job.py")
 # measurement-regime fence: sessions recorded before the tmpfs-workdir fix
 # timed the VM's shared-disk writeback, not the engine — never pool across it
 TMPFS_FIX_SHA = "5072673"
@@ -82,6 +79,57 @@ def _git_sha() -> str:
         ).stdout.strip() or "unknown"
     except OSError:
         return "unknown"
+
+
+def _job_closure_files() -> list[str]:
+    """The exact code a scaling run measures: the repo-local import closure
+    of replay_job.py (computed mechanically with modulefinder — not a
+    hand-maintained list), plus the input generator (datagen.py decides the
+    bytes every level replays) and the job script itself. A commit that
+    touches anything OUTSIDE this closure (new operators, docs, tests,
+    unrelated modules) cannot change what the benchmark measures, so it must
+    not block pooling — the round-3 whole-package rule fenced on `git diff
+    gobblin_spark/` and threw away poolable sessions for cosmetic reasons."""
+    from modulefinder import ModuleFinder
+
+    mf = ModuleFinder(path=[REPO])
+    mf.run_script(os.path.join(REPO, "scripts", "replay_job.py"))
+    files = {
+        os.path.relpath(m.__file__, REPO)
+        for m in mf.modules.values()
+        if getattr(m, "__file__", None) and os.path.abspath(m.__file__).startswith(REPO)
+    }
+    files.add("scripts/replay_job.py")
+    files.add("gobblin_spark/datagen.py")
+    return sorted(files)
+
+
+def _job_digest(files: list[str], git_sha: str | None = None) -> str:
+    """Content digest of the measured job code. With ``git_sha``, hashes the
+    files AS OF that commit (via ``git show``) — this is how sessions
+    recorded before the digest field can be checked for poolability with
+    today's code, instead of being rejected on SHA inequality alone. A file
+    absent at that revision hashes as empty."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in files:
+        h.update(rel.encode())
+        if git_sha is None:
+            try:
+                with open(os.path.join(REPO, rel), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                pass
+        else:
+            out = subprocess.run(
+                ["git", "-C", REPO, "show", f"{git_sha}:{rel}"],
+                capture_output=True,
+                timeout=20,
+            )
+            if out.returncode == 0:
+                h.update(out.stdout)
+    return h.hexdigest()[:16]
 
 
 def _loadavg() -> float:
@@ -234,28 +282,6 @@ def _floor_corroboration(runs: list[dict], key: str = "apply_sec") -> dict:
     }
 
 
-def _sha_job_compatible(sha_a: str, sha_b: str) -> tuple[bool, str]:
-    """Two SHAs are poolable iff the diff between them touches none of the
-    measured job's code paths (JOB_PATHS). Docs/tests/artifacts commits
-    cannot change what replay_job.py measures."""
-    if sha_a == sha_b:
-        return True, ""
-    try:
-        out = subprocess.run(
-            ["git", "-C", REPO, "diff", "--name-only", f"{sha_a}..{sha_b}", "--"]
-            + list(JOB_PATHS),
-            capture_output=True,
-            text=True,
-            timeout=20,
-        )
-        if out.returncode != 0:
-            return False, out.stderr.strip()
-        touched = [l for l in out.stdout.splitlines() if l.strip()]
-        return (not touched), ", ".join(touched)
-    except OSError as e:
-        return False, str(e)
-
-
 def _sha_post_tmpfs(sha: str) -> bool:
     try:
         return (
@@ -284,6 +310,8 @@ def report_only(args) -> None:
         sessions.append(d)
     ref = sessions[0]
     shas = []
+    closure = _job_closure_files()
+    ref_digest = ref.get("job_digest") or _job_digest(closure, ref.get("git_sha"))
     for d in sessions:
         for k in ("n_events", "n_batches", "merge_mode"):
             if d.get(k) != ref.get(k):
@@ -296,11 +324,12 @@ def report_only(args) -> None:
                 f"{d['_path']}: session SHA {sha} predates the tmpfs-workdir "
                 f"fix ({TMPFS_FIX_SHA}) — different measurement regime, refusing"
             )
-        ok, touched = _sha_job_compatible(ref.get("git_sha", "unknown"), sha)
-        if not ok:
+        digest = d.get("job_digest") or _job_digest(closure, sha)
+        if digest != ref_digest:
             raise SystemExit(
-                f"{d['_path']}: SHA {sha} differs from {ref.get('git_sha')} in "
-                f"job code ({touched}), refusing to pool"
+                f"{d['_path']}: measured-job-code digest {digest} != "
+                f"{ref_digest} (import closure of replay_job.py differs "
+                f"between SHAs {sha} and {ref.get('git_sha')}), refusing to pool"
             )
         if sha not in shas:
             shas.append(sha)
@@ -356,8 +385,12 @@ def report_only(args) -> None:
     session_ids = [d.get("session", os.path.basename(d["_path"])) for d in sessions]
     result = {
         "session": "pooled-report(" + ", ".join(session_ids) + ")",
-        "git_sha": " + ".join(shas) + " (job-code-identical, verified by git diff over "
-        + "/".join(JOB_PATHS) + ")",
+        "git_sha": " + ".join(shas)
+        + f" (measured-job-code-identical: digest {ref_digest} over the "
+        "repo-local import closure of replay_job.py at each SHA)",
+        "job_digest": ref_digest,
+        "job_files": closure,
+        "job_digest_matches_checkout": ref_digest == _job_digest(closure),
         "n_events": ref["n_events"],
         "n_batches": ref["n_batches"],
         "merge_mode": ref["merge_mode"],
@@ -400,7 +433,7 @@ def report_only(args) -> None:
             "each session: `python scripts/scaling_bench.py --events "
             f"{ref['n_events']} --n {small_c} --merge-mode {ref['merge_mode']} "
             "--repeats 3`; this pooled verdict: `python scripts/scaling_bench.py "
-            "--report-only --pool-json bench_sessions/<job-code-identical "
+            "--report-only --pool-json bench_sessions/<job-digest-identical "
             "session JSONs>` (the pooler refuses config/SHA mismatches)"
         ),
     }
@@ -431,7 +464,7 @@ def main() -> None:
         nargs="*",
         default=[],
         help="prior result JSONs (this script's stdout) from earlier sessions "
-        "of the SAME config AND git SHA: their per-run records are merged "
+        "of the SAME config AND measured-job-code digest: their per-run records are merged "
         "into the supplementary floor estimate, deduped by (session, level, "
         "index). In live mode pooling never changes the PASS criterion "
         "(quiet paired median of THIS session); use --report-only to pool "
@@ -454,8 +487,8 @@ def main() -> None:
         "--report-only",
         action="store_true",
         help="pool the --pool-json session files into one BENCH.md verdict "
-        "without running the job (config-matched; SHAs must be job-code-"
-        "identical per git diff over " + "/".join(JOB_PATHS) + ")",
+        "without running the job (config-matched; sessions must share the "
+        "measured-job-code digest — the import closure of replay_job.py)",
     )
     args = ap.parse_args()
     if args.report_only:
@@ -466,6 +499,8 @@ def main() -> None:
         "%Y-%m-%dT%H-%M"
     )
     sha = _git_sha()
+    job_files = _job_closure_files()
+    job_digest = _job_digest(job_files)
     # Workdir (changelog + table data) on tmpfs, same rationale as the
     # shuffle dirs below: on a real cluster every executor brings its own
     # disks, so this single box's ~139 MB/s shared writeback would otherwise
@@ -570,10 +605,14 @@ def main() -> None:
                 or sorted(int(k) for k in prior["levels"]) != sorted(pool)
             ):
                 raise SystemExit(f"--pool-json {path}: config mismatch, refusing to pool")
-            if prior.get("git_sha") != sha:
+            prior_digest = prior.get("job_digest") or _job_digest(
+                job_files, prior.get("git_sha")
+            )
+            if prior_digest != job_digest:
                 raise SystemExit(
-                    f"--pool-json {path}: git SHA {prior.get('git_sha')} != {sha} "
-                    "(different code revision), refusing to pool"
+                    f"--pool-json {path}: measured-job-code digest "
+                    f"{prior_digest} != {job_digest} (different job code), "
+                    "refusing to pool"
                 )
             psess = prior.get("session", os.path.basename(path))
             for cores in pool:
@@ -621,6 +660,8 @@ def main() -> None:
         result = {
             "session": session,
             "git_sha": sha,
+            "job_digest": job_digest,
+            "job_files": job_files,
             "n_events": args.events,
             "n_batches": args.n_batches,
             "merge_mode": args.merge_mode,
