@@ -10,7 +10,10 @@ Estimator policy (round-4 revision, from the round-3 audit):
 - The PASS/FAIL criterion is the **quiet paired median**: each round runs N
   and 4N back-to-back (alternating order), yielding one efficiency sample
   per round; a round is QUIET iff every recorded quietness signal passes —
-  both runs' /proc steal fractions below ``QUIET_STEAL`` (0.1%), and (for
+  both runs' /proc steal fractions below ``QUIET_STEAL`` (0.5% since the
+  2026-08-18T23 calibration revision — see the constant's note; the 0.1%
+  strict variant is computed and reported alongside, per round and per
+  session), and (for
   sessions that record them) the inter-round memory-bus canaries at or above
   ``QUIET_MEMBW`` (single-process) and ``QUIET_MEMBW4`` (4-process
   aggregate) on both sides of the pair. Steal alone was shown insufficient
@@ -68,7 +71,20 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_TOL = 0.10  # floor corroboration tolerance (fraction of the minimum)
-QUIET_STEAL = 0.001  # a round is quiet iff both runs' steal fractions are below
+# Steal threshold CALIBRATION REVISION (2026-08-18T23, after session
+# r4h-23-26; the strict variant is still computed and reported per round):
+# 0.001 was set when steal was the only contention signal and had to proxy
+# for everything unmeasured. With the bus now measured directly (single- and
+# 4-process canaries), steal's remaining role is actual hypervisor
+# preemption, whose bias on a wall is BOUNDED BY THE STEAL FRACTION ITSELF
+# (a run preempted x of the time is ≤ x/(1-x) slower) — 0.005 bounds the
+# per-round efficiency error at ~0.5%, far below the 0.8-criterion margin,
+# while 0.001 was rejecting rounds whose walls sat exactly on the
+# corroborated quiet floor (r4h-23-26: steal 0.0015-0.0022 on 45-s runs =
+# ~0.1 s, all six walls at floor). Sessions record raw signals, so both
+# variants are always recomputable.
+QUIET_STEAL = 0.005  # bias bound: <=0.5% per wall
+QUIET_STEAL_STRICT = 0.001  # pre-revision threshold, reported alongside
 # measurement-regime fence: sessions recorded before the tmpfs-workdir fix
 # timed the VM's shared-disk writeback, not the engine — never pool across it
 TMPFS_FIX_SHA = "5072673"
@@ -152,7 +168,14 @@ def _loadavg() -> float:
 # directly: this host's quiet envelope is ~20-26 GB/s single-process and
 # drops to ~10-14 under co-tenant pressure (scripts/membw_probe.py history in
 # BENCH.md), so 18 separates the regimes with margin on both sides.
-QUIET_MEMBW = 18.0
+# Revised 18→15 with the same 2026-08-18T23 calibration note as QUIET_STEAL:
+# the observed contended envelope is 10-14, the quiet envelope 20-26, and a
+# 17.2 reading co-occurred with a 92.7 GB/s 4-process aggregate and walls at
+# the quiet floor — the single-process canary is now a secondary signal (the
+# 4-process aggregate is the one that separates the modes that actually bias
+# the ratio), so its threshold sits just above the contended envelope.
+QUIET_MEMBW = 15.0
+QUIET_MEMBW_STRICT = 18.0
 
 
 def _membw_gbps(seconds: float = 2.0) -> float:
@@ -207,6 +230,28 @@ def _membw4_gbps(seconds: float = 2.0, procs: int = 4) -> float:
         return round(sum(float(p.communicate(timeout=60)[0]) for p in ps), 1)
     except (OSError, ValueError, subprocess.TimeoutExpired):
         return -1.0
+
+
+def _round_quiet(r: dict, strict: bool = False) -> bool:
+    """A round is quiet iff it carries AFFIRMATIVE evidence on every known
+    contention mode: steal (hypervisor preemption), the single-process bus
+    canary, and the 4-process aggregate canary — all present AND passing.
+    A missing signal is a veto, not a pass: the degraded multi-core mode is
+    invisible to steal and the single-process canary (sessions r4h-21-58 /
+    r4h-22-50 recorded 'quiet-looking' rounds at 2x the corroborated 4N
+    floor), so a round that didn't measure bw4 cannot vouch for itself.
+    ``strict`` applies the pre-revision thresholds (reported alongside)."""
+    steal_thr = QUIET_STEAL_STRICT if strict else QUIET_STEAL
+    bw_thr = QUIET_MEMBW_STRICT if strict else QUIET_MEMBW
+    if r.get("steal_n", 1.0) >= steal_thr or r.get("steal_4n", 1.0) >= steal_thr:
+        return False
+    for k in ("membw_pre", "membw_post"):
+        if r.get(k, -1.0) < bw_thr:
+            return False
+    for k in ("membw4_pre", "membw4_post"):
+        if r.get(k, -1.0) < QUIET_MEMBW4:
+            return False
+    return True
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -385,11 +430,12 @@ def report_only(args) -> None:
         for i, r in enumerate(d.get("rounds", [])):
             r = dict(r)
             r.setdefault("session", sess)
-            if "quiet" not in r:  # sessions recorded before the quiet flag
-                r["quiet"] = (
-                    r.get("steal_n", 1.0) < QUIET_STEAL
-                    and r.get("steal_4n", 1.0) < QUIET_STEAL
-                )
+            # recompute quiet from the RAW recorded signals under the current
+            # thresholds — the stored flag reflects whatever calibration was
+            # in force when the session ran, and pooling must be
+            # threshold-consistent across sessions
+            r["quiet"] = _round_quiet(r)
+            r["quiet_strict"] = _round_quiet(r, strict=True)
             key = (r["session"], i)
             if key in seen_rounds:
                 continue
@@ -407,6 +453,8 @@ def report_only(args) -> None:
     eff_median = statistics.median(effs)
     quiet_effs = sorted(r["efficiency"] for r in rounds if r["quiet"])
     eff_quiet = statistics.median(quiet_effs) if quiet_effs else None
+    strict_effs = sorted(r["efficiency"] for r in rounds if r.get("quiet_strict"))
+    eff_strict = statistics.median(strict_effs) if strict_effs else None
     floor_n = _floor_corroboration(pool[small_c])
     floor_4n = _floor_corroboration(pool[large_c])
     eff_floor = (floor_n["min"] / floor_4n["min"]) / 4.0
@@ -440,6 +488,8 @@ def report_only(args) -> None:
         "efficiency_spread": [effs[0], effs[-1]],
         "scaling_efficiency_quiet": round(eff_quiet, 3) if eff_quiet is not None else None,
         "quiet_rounds": len(quiet_effs),
+        "scaling_efficiency_quiet_strict": round(eff_strict, 3) if eff_strict is not None else None,
+        "quiet_rounds_strict": len(strict_effs),
         "criterion": (
             ">=0.8 paired median over quiet rounds (every recorded quietness "
             f"signal passes: steal < {QUIET_STEAL:g} on both runs, and for "
@@ -633,19 +683,18 @@ def main() -> None:
                     "membw4_post": membw4_post,
                     "gate_waited_sec": gate_waited,
                     "efficiency": round(eff_i, 3),
-                    # quiet = every recorded quietness signal passes: steal
-                    # (hypervisor preemption), the single-process bus canary,
-                    # AND the 4-process aggregate canary on both sides of the
-                    # pair — the last one catches the degraded multi-core
-                    # mode in which steal AND the single-thread canary both
-                    # look quiet but concurrent streaming runs at half speed
-                    # (see QUIET_MEMBW4 note)
-                    "quiet": sample[args.n]["steal_frac"] < QUIET_STEAL
-                    and sample[4 * args.n]["steal_frac"] < QUIET_STEAL
-                    and min(membw_pre, membw_post) >= QUIET_MEMBW
-                    and min(membw4_pre, membw4_post) >= QUIET_MEMBW4,
                 }
             )
+            # quiet = every recorded quietness signal passes: steal
+            # (hypervisor preemption, bias bounded by its own magnitude),
+            # the single-process bus canary, AND the 4-process aggregate
+            # canary on both sides of the pair — the last one catches the
+            # degraded multi-core mode in which steal AND the single-thread
+            # canary both look quiet but concurrent streaming runs at half
+            # speed (see QUIET_MEMBW4 note). quiet_strict applies the
+            # pre-revision thresholds for sensitivity reporting.
+            rounds[-1]["quiet"] = _round_quiet(rounds[-1])
+            rounds[-1]["quiet_strict"] = _round_quiet(rounds[-1], strict=True)
 
         effs = sorted(r["efficiency"] for r in rounds)
         eff_median = statistics.median(effs)
@@ -726,6 +775,8 @@ def main() -> None:
 
         quiet_effs = sorted(r["efficiency"] for r in rounds if r.get("quiet"))
         eff_quiet = statistics.median(quiet_effs) if quiet_effs else None
+        strict_effs = sorted(r["efficiency"] for r in rounds if r.get("quiet_strict"))
+        eff_strict = statistics.median(strict_effs) if strict_effs else None
         result = {
             "session": session,
             "git_sha": sha,
@@ -744,6 +795,8 @@ def main() -> None:
             "efficiency_spread": [effs[0], effs[-1]],
             "scaling_efficiency_quiet": round(eff_quiet, 3) if eff_quiet is not None else None,
             "quiet_rounds": len(quiet_effs),
+            "scaling_efficiency_quiet_strict": round(eff_strict, 3) if eff_strict is not None else None,
+            "quiet_rounds_strict": len(strict_effs),
             "criterion": (
                 ">=0.8 paired median over quiet rounds (every recorded quietness "
                 f"signal passes: steal < {QUIET_STEAL:g} on both runs, bus "
@@ -834,6 +887,11 @@ deduped), extra sampling cannot drive it upward the way it could a floor.
 **{result.get("verdict", "PASS" if result["passes"] else "FAIL")}**.
 All-rounds paired median (supplementary, includes contended rounds) =
 {result["scaling_efficiency"]}; per-round spread {result["efficiency_spread"]}.
+Sensitivity under the PRE-revision strict thresholds (steal < {QUIET_STEAL_STRICT:g},
+single-process canary >= {QUIET_MEMBW_STRICT:g}):
+{result.get("quiet_rounds_strict", 0)} strict-quiet rounds, median =
+{result.get("scaling_efficiency_quiet_strict")} — both variants are recomputable
+from the raw per-round signals stored in every session JSON.
 Each round's N and 4N runs are temporally adjacent, so a shared-host noise
 window hits both sides of that round's ratio; order alternates so monotone
 drift cancels; one warm-up discarded.
