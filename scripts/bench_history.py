@@ -99,22 +99,18 @@ def session_rows() -> list[tuple]:
             tag = f"r4 provenance ({sha}"
             tag += ", tmpfs workdir" if _post_tmpfs(sha) else ", PRE-tmpfs-fix workdir"
             tag += ", bus canary)" if has_canary else ")"
-            qn = d.get("quiet_rounds")
-            qmed = d.get("scaling_efficiency_quiet")
-            if qn is None and d.get("rounds"):
-                # sessions recorded before the quiet flag landed: back-fill
-                # with the same rule the pooler uses (steal < 0.001 on both
-                # sides; bus canary >= 18 GB/s where recorded)
-                q = [
-                    r["efficiency"]
-                    for r in d["rounds"]
-                    if r.get("steal_n", 1.0) < 0.001
-                    and r.get("steal_4n", 1.0) < 0.001
-                    and (r.get("membw_pre") is None or r["membw_pre"] >= 18.0)
-                    and (r.get("membw_post") is None or r["membw_post"] >= 18.0)
-                ]
-                qn = len(q)
-                qmed = round(statistics.median(q), 3) if len(q) >= 2 else None
+            # recompute quiet from raw per-round signals under the CURRENT
+            # calibration (scaling_bench._round_quiet) so one rule applies
+            # across the whole table — stored flags reflect whichever
+            # calibration was in force when each session ran
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(REPO, "scripts"))
+            from scaling_bench import _round_quiet
+
+            q = [r["efficiency"] for r in d.get("rounds", []) if _round_quiet(r)]
+            qn = len(q)
+            qmed = round(statistics.median(q), 3) if q else None
             rows.append(
                 (
                     own,
