@@ -42,6 +42,7 @@ from gobblin_spark.operators.multimodal import (
     resize_images,
     sample_frames,
     synth_audio_payloads,
+    synth_gif_payloads,
     synth_image_payloads,
     synth_video_payloads,
 )
@@ -782,6 +783,24 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return image_stats(frames, passthrough=["doc_id", "frame_idx"], bin_col="frame")
 
 
+def q_multimodal_gif_frames(spark, sf_dir):
+    """REAL compressed-format animation path: closed-form frames are
+    LZW-encoded as genuine animated GIF89a payloads (encode_gif's 6x7x6
+    deterministic quantizer; interlace alternating by doc_id so both row
+    orders are on the contract path), ``sample_frames`` LZW-decodes the
+    animation and re-encodes every 2nd frame as a standalone GIF, and
+    ``image_stats`` decodes each emitted frame. The oracle recomputes the
+    quantized pixel values symbolically — r'=(v*6//256)*51,
+    g'=(v*7//256)*255//6 over v = (doc_id + 17f + 7y + 11x + 13c) % 256 —
+    so the LZW bit-packer, width-bump sync, interlace reorder and the
+    quantizer are all value-checked end-to-end (media_codecs.py; GIF is LZW
+    over palette indices — stdlib-decodable like PNG, unlike JPEG)."""
+    docs = _docs(spark, sf_dir)
+    payloads = synth_gif_payloads(docs)
+    frames = sample_frames(payloads, every_n=2)
+    return image_stats(frames, passthrough=["doc_id", "frame_idx"], bin_col="frame")
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     """REAL PCM-WAV decode: synth closed-form mono 16-bit WAV payloads via
     the stdlib ``wave`` writer, decode with ``audio_stats``, report
@@ -995,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_audio_stats": q_multimodal_audio_stats,
     }
 
@@ -1838,6 +1858,19 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(range(0, 3), c ->
                          (d.doc_id + 17*f.frame_idx + 7*y + 11*x + 13*c) % 256))))))
                      AS BIGINT) AS px_sum
+            FROM documents d,
+                 unnest(range(0, 3 + d.doc_id % 7, 2)) AS f(frame_idx)
+        """,
+        "multimodal_gif_frames": """
+            SELECT d.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+                   CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+                     flatten(list_transform(range(0, 6), x ->
+                       list_transform(range(0, 3), c ->
+                         CASE WHEN c = 1
+                           THEN ((((d.doc_id + 17*f.frame_idx + 7*y + 11*x + 13) % 256) * 7 // 256) * 255) // 6
+                           ELSE (((d.doc_id + 17*f.frame_idx + 7*y + 11*x + 13*c) % 256) * 6 // 256) * 51
+                         END)))))) AS BIGINT) AS px_sum
             FROM documents d,
                  unnest(range(0, 3 + d.doc_id % 7, 2)) AS f(frame_idx)
         """,

@@ -1,9 +1,9 @@
 """Pure-stdlib media codecs — REAL decode for uncompressed formats.
 
-This sandbox has no PIL/cv2/pyav (verified each round), so compressed formats
-(JPEG/PNG/H.264) stay behind the clearly-marked sha256 stub fallback in
-``multimodal.py``. Uncompressed formats, however, need nothing beyond
-``struct``/``wave``/numpy, so they are decoded for real:
+This sandbox has no PIL/cv2/pyav (verified each round), so natively-coded
+formats (JPEG/H.264) stay behind the clearly-marked sha256 stub fallback in
+``multimodal.py``. Everything else needs nothing beyond
+``struct``/``wave``/``zlib``/numpy, so it is decoded for real:
 
 - **P6 PPM** (binary portable pixmap): header tokenizer (handles ``#``
   comments), raw RGB24 body. Also a trivial "ppm stream" (back-to-back P6
@@ -12,6 +12,9 @@ This sandbox has no PIL/cv2/pyav (verified each round), so compressed formats
   bottom-up row order, 4-byte row padding — the classic gotchas, handled and
   unit-tested.
 - **PCM WAV** via the stdlib ``wave`` module (16-bit samples → int16 array).
+- **PNG** (zlib inflate + the five scanline filters) — see ``decode_png``.
+- **GIF87a/89a** incl. animation: GIF-variant LZW both directions, interlace,
+  transparency and disposal compositing — see ``decode_gif_frames``.
 
 Everything returns/consumes numpy arrays so the mapInPandas operators in
 ``multimodal.py`` can run vectorized per Arrow batch. All functions are
@@ -277,6 +280,262 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------- GIF
+# GIF87a/89a is LZW over palette indices — like PNG, a pure-stdlib problem,
+# not a native-codec one (reference parity: Gobblin ships format-aware
+# copy/conversion, not decoders; this engine decodes because the multimodal
+# operators compute on pixels). The LZW here is the GIF variant: variable
+# code width starting at min_code_size+1, CLEAR/END codes, dict capped at
+# 4096, width bumps when the next free code reaches 2^width — encoder and
+# decoder run the bump at the same next_code value, which is what keeps the
+# famous "one-behind" dictionary sync correct (incl. the KwKwK case, where
+# the decoder sees a code equal to its own dict length).
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> bytearray:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # tolerate a missing END code (common in the wild)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:  # first code after (implicit) clear: no append
+            if code >= len(table):
+                raise ValueError("bad GIF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW: code beyond dictionary")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode_gif(indices: bytes, mcs: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        # canonical bump point (giflib): after emitting code k the decoder's
+        # table holds end+k entries == our pre-insert next_code; both sides
+        # widen here, which keeps the one-behind dictionaries in sync
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:  # dict full: reset (decoder mirrors on CLEAR)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int, interlaced: bool) -> list[int]:
+    if not interlaced:
+        return list(range(h))
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def quantize_gif(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 6×7×6 color-cube quantization (252 colors) — floor
+    arithmetic only, so the DuckDB contract oracles can recompute exact
+    post-quantization pixel values from the synthetic closed form:
+    r' = (r*6//256)*51, g' = (g*7//256)*255//6, b' = (b*6//256)*51."""
+    a = arr.astype(np.int64)
+    ri, gi, bi = a[..., 0] * 6 // 256, a[..., 1] * 7 // 256, a[..., 2] * 6 // 256
+    return np.stack([ri * 51, gi * 255 // 6, bi * 51], axis=-1).astype(np.uint8)
+
+
+def _gif_palette() -> np.ndarray:
+    ri, gi, bi = np.meshgrid(np.arange(6), np.arange(7), np.arange(6), indexing="ij")
+    pal = np.stack([ri * 51, gi * 255 // 6, bi * 51], axis=-1).reshape(-1, 3)
+    return np.vstack([pal, np.zeros((256 - len(pal), 3))]).astype(np.uint8)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF87a/89a into full-canvas h×w×3 uint8 RGB
+    arrays: LZW + interlace + transparency + disposal (none/keep=1,
+    restore-background=2, restore-previous=3) compositing."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    bg = canvas.copy()
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = payload[pos]
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[pos + 4] if flags & 0x01 else None
+                pos += 1 + sz
+            while payload[pos] != 0:  # skip (remaining) sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        lct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF frame with no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode_gif(b"".join(chunks), mcs), dtype=np.uint8, count=fw * fh
+        )
+        rows = np.empty((fh, fw), dtype=np.uint8)
+        rows[_gif_row_order(fh, bool(fpacked & 0x40))] = idx.reshape(fh, fw)
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if transparent is not None:
+            opaque = rows != transparent
+            region[opaque] = lct[rows[opaque]]
+        else:
+            region[:] = lct[rows]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = bg[fy : fy + fh, fx : fx + fw]
+        elif disposal == 3 and before is not None:
+            canvas = before
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """First frame of a GIF as (width, height, h×w×3 uint8 RGB)."""
+    frames = decode_gif_frames(payload)
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    return w, h, frames[0]
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    interlace: bool = False,
+    delay_cs: int = 4,
+) -> bytes:
+    """GIF89a encoder: quantize_gif 252-color cube, one global color table,
+    full-canvas frames, LZW mcs=8. ``interlace`` row-shuffles every frame
+    (decoder handles both). Multi-frame input becomes an animation with
+    per-frame graphic-control blocks (disposal=keep)."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    pal = _gif_palette()
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += pal.tobytes()
+    for arr in frames:
+        a = arr.astype(np.int64)
+        idx = (
+            (a[..., 0] * 6 // 256) * 42 + (a[..., 1] * 7 // 256) * 6 + (a[..., 2] * 6 // 256)
+        ).astype(np.uint8)
+        if len(frames) > 1:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        rows = idx[_gif_row_order(h, interlace)] if interlace else idx
+        out.append(8)  # LZW min code size
+        comp = _lzw_encode_gif(rows.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # -------------------------------------------------------------------- resize

@@ -24,11 +24,14 @@ from pyspark.sql import types as T
 
 from .media_codecs import (
     decode_bmp,
+    decode_gif,
+    decode_gif_frames,
     decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -130,6 +133,11 @@ def resize_images(
                     if fmt == "png":
                         _, _, arr = decode_png(payload)
                         return encode_png(resize_nn(arr, width, height))
+                    if fmt == "gif":
+                        # decoded pixels are palette values, so re-encode's
+                        # quantization is the identity (tested)
+                        _, _, arr = decode_gif(payload)
+                        return encode_gif(resize_nn(arr, width, height))
                 except ValueError:
                     pass  # corrupt/unsupported variant → stub fallback
                 # STUB fallback (JPEG etc.; no native codecs in sandbox)
@@ -176,16 +184,25 @@ def sample_frames(
                 if b is None:
                     continue
                 payload = bytes(b)
-                if sniff_format(payload) == "ppm":
+                fmt = sniff_format(payload)
+                if fmt in ("ppm", "gif"):
                     try:
-                        decoded = decode_ppm_stream(payload)
+                        decoded = (
+                            decode_ppm_stream(payload)
+                            if fmt == "ppm"
+                            else decode_gif_frames(payload)
+                        )
                     except ValueError:
                         decoded = None
                     if decoded is not None:
                         for fi in range(0, len(decoded), every_n):
                             ids.append(int(i))
                             idxs.append(fi)
-                            frames.append(encode_ppm(decoded[fi]))
+                            frames.append(
+                                encode_ppm(decoded[fi])
+                                if fmt == "ppm"
+                                else encode_gif(decoded[fi])
+                            )
                         continue
                 n_frames = max(1, len(payload) // 64)  # STUB: pyav stream probe
                 for fi in range(0, n_frames, every_n):
@@ -206,6 +223,8 @@ def _decode_any_image(payload: bytes) -> np.ndarray | None:
             return decode_bmp(payload)[2]
         if fmt == "png":
             return decode_png(payload)[2]
+        if fmt == "gif":
+            return decode_gif(payload)[2]
     except ValueError:
         return None
     return None
@@ -400,6 +419,27 @@ def synth_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             c = np.arange(3, dtype=np.int64)[None, None, :]
             out.append(encode_ppm(((did + 17 * f + 7 * y + 11 * x + 13 * c) % 256).astype(np.uint8)))
         return b"".join(out)
+
+    return _synth_payload_op(df, id_col, build)
+
+
+def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic ANIMATED GIFs: the same closed-form frames as
+    ``synth_video_payloads`` (so the oracle shares the formula), LZW-encoded
+    through ``encode_gif``'s 6×7×6 quantizer — the oracle applies the
+    quantization closed form (r'=(r*6//256)*51, g'=(g*7//256)*255//6) to the
+    synthetic pixel formula. Interlace alternates by id so both row orders
+    sit on the contract path."""
+
+    def build(did: int) -> bytes:
+        n_frames = 3 + did % 7
+        frames = []
+        for f in range(n_frames):
+            y = np.arange(4, dtype=np.int64)[:, None, None]
+            x = np.arange(6, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            frames.append(((did + 17 * f + 7 * y + 11 * x + 13 * c) % 256).astype(np.uint8))
+        return encode_gif(frames, interlace=bool(did % 2))
 
     return _synth_payload_op(df, id_col, build)
 
