@@ -21,13 +21,16 @@ from pyspark.sql import functions as F
 
 from gobblin_spark.dedup import lww_latest, lww_latest_salted, lww_latest_window
 from gobblin_spark.operators.dedup_families import (
+    chunk_frequency_dedup,
     contamination_check,
+    dedup_against_history,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from gobblin_spark.operators.clustering import dup_clusters
+from gobblin_spark.operators.clustering import cluster_representatives, dup_clusters
+from gobblin_spark.operators.patch import patch_merge
 from gobblin_spark.operators.fork import fork_counts
 from gobblin_spark.operators.sampling import (
     pack_shards,
@@ -156,6 +159,29 @@ def q_cdc_apply_merge(spark, sf_dir):
         *[F.when(u_newer, F.col(f"u_{c}")).otherwise(F.col(f"t_{c}")).alias(c) for c in cols]
     )
     return _snapshot_select(merged)
+
+
+def q_cdc_patch_merge(spark, sf_dir):
+    """Partial-column-update (patch) fold — binlog-row-image=minimal /
+    Debezium null-for-unchanged semantics: per column last non-null value,
+    restarted at the last tombstone; row survives only if re-written after
+    its last delete. Single-pass conditional struct-max aggregate (map-side
+    combine, skew-proof; see operators/patch.py). The oracle recomputes the
+    same semantics via an INDEPENDENT algorithm: window-max tombstone cursor
+    + ordered/filtered last() fold. Patch columns are derived
+    deterministically from the changelog (event_id mod 3/5 ⇒ column absent
+    from that event's image)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == DELETE_TYPE).alias("_del"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v_num"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("v_props"),
+    )
+    return patch_merge(
+        ev, ["user_id"], ["ts", "event_id"], ["v_num", "v_props"], F.col("_del")
+    )
 
 
 def q_cdc_watermark_discovery(spark, sf_dir):
@@ -927,6 +953,50 @@ def q_docs_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_docs_dedup_survivors(spark, sf_dir):
+    """Pairs → clusters → keeper DECISION: within each duplicate cluster keep
+    the longest document (ties to smallest id), drop the rest — the action
+    step of cluster dedup. Oracle recomputes components with the recursive
+    min-reachability CTE (independent algorithm vs star contraction) and the
+    winner with a window."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=20, min_jaccard_bp=6000)
+    out = cluster_representatives(pairs, docs, "doc_id", "n_chars")
+    return out.select(
+        "doc_id", "cluster_id", "n_chars", F.col("keep").cast("long").alias("keep")
+    )
+
+
+def q_docs_chunk_dedup(spark, sf_dir):
+    """Paragraph/boilerplate-frequency dedup (CCNet/Gopher repeated-chunk
+    removal): fixed 8-word chunks, global frequency over a hashed 8-byte
+    shuffle key, chunks occurring >2× stripped from every document. Chunking
+    and recomposition are pure codegen; the hot set is broadcast. Oracle
+    replicates chunking, the portable hash and the recomposition
+    value-for-value."""
+    out = chunk_frequency_dedup(
+        _docs(spark, sf_dir), words_per_chunk=8, max_occurrences=2
+    )
+    return out.select(
+        "doc_id", "n_chunks", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def q_docs_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
+    anti-joined on a NORMALIZED content digest (sorted distinct token set —
+    exact-dedup-after-normalization) against the historical corpus, plus
+    keep-first within the batch. Only digests cross the exchange."""
+    docs = _docs(spark, sf_dir)
+    dig = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup_against_history(batch, history, digest=dig)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_docs_simhash_neardup(spark, sf_dir):
     """Pigeonhole-banded SimHash near-dup (exact for the requested distance:
     d+1 blocks). DuckDB oracle replicates signature, banding and verify."""
@@ -969,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_apply_merge": q_cdc_apply_merge,
+        "cdc_patch_merge": q_cdc_patch_merge,
         "cdc_watermark_discovery": q_cdc_watermark_discovery,
         "cdc_range_scan": q_cdc_range_scan,
         "cdc_quality_gate": q_cdc_quality_gate,
@@ -1000,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_survivors": q_docs_dedup_survivors,
+        "docs_chunk_dedup": q_docs_chunk_dedup,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_pack_shards": q_docs_pack_shards,
         "docs_minhash_neardup": q_docs_minhash_neardup,
@@ -1382,6 +1456,35 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_window": snapshot,
         "cdc_lww_salted": snapshot,
         "cdc_apply_merge": snapshot,  # merge(≤5000, >5000) ≡ LWW over all
+        # independent algorithm vs the Spark single-pass conditional
+        # struct-max: window-max tombstone cursor + ordered/filtered last()
+        "cdc_patch_merge": f"""
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     (event_type = '{DELETE_TYPE}') AS is_del,
+                     CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v_num,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS v_props
+              FROM events
+            ), cur AS (
+              SELECT *,
+                     max(CASE WHEN is_del
+                              THEN struct_pack(t := ts, eid := event_id) END)
+                       OVER (PARTITION BY user_id) AS d
+              FROM e
+            ), live AS (
+              SELECT * FROM cur
+              WHERE NOT is_del
+                AND (d IS NULL OR struct_pack(t := ts, eid := event_id) > d)
+            )
+            SELECT user_id,
+                   last(v_num ORDER BY ts, event_id)
+                     FILTER (WHERE v_num IS NOT NULL) AS v_num,
+                   last(v_props ORDER BY ts, event_id)
+                     FILTER (WHERE v_props IS NOT NULL) AS v_props,
+                   max(ts) AS last_ts,
+                   last(event_id ORDER BY ts, event_id) AS last_event_id
+            FROM live GROUP BY user_id
+        """,
         "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
         "cdc_wap_publish": snapshot,  # stage-on-branch + publish ≡ direct ingest
         "cdc_watermark_discovery": """
@@ -1812,6 +1915,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT component AS cluster_id, count(*) AS n_docs,
                    min(node) AS keep_id
             FROM comp GROUP BY 1
+        """,
+        # same component witness (recursive CTE vs star contraction), winner
+        # via window instead of max_by
+        "docs_dedup_survivors": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id, a_id FROM pairs
+            ),
+            reach(n, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n
+            ),
+            comp AS (SELECT n AS node, min(r) AS component FROM reach GROUP BY n),
+            m AS (
+              SELECT c.node, c.component, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.node
+            ),
+            w AS (
+              SELECT *, first_value(node) OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, node ASC) AS keep_id
+              FROM m
+            )
+            SELECT node AS doc_id, component AS cluster_id, n_chars,
+                   CAST(node = keep_id AS BIGINT) AS keep
+            FROM w
+        """,
+        "docs_chunk_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), ch AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(words)/8.0) AS BIGINT)),
+                       i -> struct_pack(
+                         pos := i,
+                         chunk := array_to_string(
+                           list_slice(words, i*8+1, i*8+8), ' '))) AS chunks
+              FROM base
+            ), ex AS (
+              SELECT doc_id, (u).pos AS pos, (u).chunk AS chunk,
+                     ('0x' || substr(md5((u).chunk), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, unnest(chunks) AS u FROM ch)
+            ), hot AS (
+              SELECT h FROM ex GROUP BY h HAVING count(*) > 2
+            ), kept AS (
+              SELECT doc_id, pos, chunk FROM ex
+              WHERE h NOT IN (SELECT h FROM hot)
+            ), rec AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
+                   CAST(len(c.chunks) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5
+            FROM ch c LEFT JOIN rec r USING (doc_id)
+        """,
+        "docs_incremental_dedup": """
+            WITH d AS (
+              SELECT *, md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))), ' '))
+                     AS dg
+              FROM documents
+            ),
+            batch AS (SELECT * FROM d WHERE doc_id % 4 = 0),
+            hist AS (SELECT DISTINCT dg FROM d WHERE doc_id % 4 <> 0)
+            SELECT b.doc_id, b.lang, b.n_chars FROM batch b
+            WHERE b.dg NOT IN (SELECT dg FROM hist)
+              AND b.doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.dg = b.dg)
         """,
         "docs_minhash_neardup": _minhash_sql(),
         "docs_simhash_neardup": _simhash_sql(),

@@ -134,3 +134,51 @@ def dup_clusters(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("node").alias("keep_id"),
     )
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Per-cluster keeper selection — the decision step that turns duplicate
+    CLUSTERS into a dedup action: within each connected component keep the
+    single best document (max ``weight_col``, ties to the smallest id — the
+    "longest document wins" rule of CC pipeline dedup), drop the rest.
+
+    Returns one row per CLUSTERED document:
+    (id_col, cluster_id, weight_col, keep boolean). Unclustered documents
+    never appear (they are trivially kept); the production keep-list is
+    ``corpus LEFT ANTI JOIN (this WHERE NOT keep)``.
+
+    Physical plan: components via O(log n)-round star contraction
+    (``connected_components``); the weight lookup joins components (a tiny
+    fraction of the corpus — only docs that appear in a pair) against the
+    corpus on the doc id, and the winner is a map-side-combinable
+    ``max_by`` per cluster joined back broadcast (clusters ≪ corpus).
+    """
+    cc = connected_components(pairs, a_col, b_col)  # (node, component)
+    # members is consumed twice (winner agg + join-back) and is tiny — only
+    # docs appearing in a pair; checkpoint so the component roll-up and the
+    # docs join don't run twice (same policy as the jaccard prefix postings)
+    members = cc.join(
+        docs.select(F.col(id_col).alias("node"), F.col(weight_col).alias("_w")),
+        "node",
+    ).localCheckpoint(eager=False)
+    winners = members.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("_w"), (-F.col("node")).alias("_t"))).alias(
+            "_keep"
+        )
+    )
+    return (
+        members.join(F.broadcast(winners), "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("_w").alias(weight_col),
+            (F.col("node") == F.col("_keep")).alias("keep"),
+        )
+    )

@@ -463,3 +463,120 @@ def contamination_check(
             ).alias("contamination_bp"),
         )
     )
+
+
+def chunk_frequency_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_chunk: int = 8,
+    max_occurrences: int = 10,
+) -> DataFrame:
+    """Paragraph/line-level boilerplate removal, the CCNet/Gopher/Dolma
+    pre-dedup step: chunks of text that repeat across MANY documents
+    (cookie banners, nav bars, license footers) are stripped from every
+    document while the unique prose is kept.
+
+    The corpus here has no paragraph structure, so the chunk unit is a fixed
+    window of ``words_per_chunk`` whitespace words — the operator is
+    agnostic to the splitter (swap the chunk expression for
+    ``split(text, '\\n\\n')`` on real web text).
+
+    Physical plan for 100 TB:
+    - chunking is pure codegen (``split`` + ``transform(sequence)`` +
+      ``slice``), zero Python;
+    - the global frequency count shuffles ONLY ``portable_hash60(chunk)``
+      (8-byte key, map-side combine) — never the chunk text;
+    - the hot set (count > max_occurrences) is tiny by construction —
+      boilerplate is heavy-tailed — and is BROADCAST for the removal
+      anti-join, so document rows never shuffle;
+    - recomposition is a per-document ``filter`` over the in-row chunk
+      array against the broadcast hot-hash set (via a broadcast join on the
+      doc's own exploded chunks would re-shuffle; instead the hot set is
+      joined back per (id, pos) with broadcast semantics).
+
+    Returns (id_col, n_chunks, n_removed, clean_text).
+    A 60-bit hash collision can only over-remove a chunk that collides with
+    a hot one (~2^-60 per distinct pair); the contract oracle replicates the
+    identical hash so the check is value-exact.
+    """
+    w = int(words_per_chunk)
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    base = docs.select(F.col(id_col).alias("id"), chunks.alias("chunks"))
+
+    exploded = base.select("id", F.posexplode("chunks").alias("pos", "chunk")).select(
+        "id", "pos", portable_hash60(F.col("chunk")).alias("h")
+    )
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > max_occurrences)
+        .select("h")
+    )
+    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    kept_per_doc = kept.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("keep_pos")
+    )
+    return (
+        base.join(kept_per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("chunks").alias("n_chunks"),
+            (F.size("chunks") - F.coalesce(F.size("keep_pos"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.coalesce(F.col("keep_pos"), F.array()),
+                    lambda p: F.element_at(F.col("chunks"), p + 1),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def dedup_against_history(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest: Column | None = None,
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: keep only batch documents
+    whose content digest appears neither in the historical corpus nor
+    earlier (min id wins) within the batch itself — how a Common-Crawl-style
+    pipeline ingests snapshot N+1 without re-deduplicating 100 TB of
+    history.
+
+    ``digest`` defaults to ``md5(text_col)`` (byte-exact dedup); pass a
+    normalizing expression (e.g. a sorted-distinct-token digest) for
+    exact-dedup-after-normalization, the Dolma/CCNet variant — the operator
+    is the anti-join, the normalizer is a parameter.
+
+    Physical plan: both sides project to (digest[, id]) BEFORE any exchange
+    — the history side shuffles 16-byte digests, never document text, and
+    the within-batch keep-first is a map-side-combinable min. At
+    10^10-document history the digest set is ~300 GB cluster-wide: an
+    ordinary hash anti-join (AQE picks broadcast automatically if a filtered
+    history fits). Returns the surviving batch rows (all original columns).
+    """
+    dig = F.md5(F.col(text_col)) if digest is None else digest
+    hist_digests = history.select(dig.alias("digest")).distinct()
+    first_in_batch = (
+        batch.select(dig.alias("digest"), F.col(id_col).alias("_id"))
+        .groupBy("digest")
+        .agg(F.min("_id").alias("_keep_id"))
+    )
+    return (
+        batch.withColumn("digest", dig)
+        .join(hist_digests, "digest", "left_anti")
+        .join(first_in_batch, "digest", "inner")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("digest", "_keep_id")
+    )
