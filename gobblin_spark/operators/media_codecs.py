@@ -538,6 +538,441 @@ def encode_gif(
     return bytes(out)
 
 
+# --------------------------------------------------------------------- JPEG
+# Baseline JPEG (ITU T.81 / ISO 10918-1) is Huffman coding + integer
+# quantization + an 8×8 DCT — all of it stdlib/numpy territory, no native
+# library needed (the round-3 verdict assumed JPEG was native-only; only
+# arithmetic-coded / progressive variants and video codecs genuinely are).
+# The decoder below handles what covers real-world baseline files: SOF0/SOF1,
+# multiple DQT/DHT tables, 8- and 16-bit quantizers, grayscale and YCbCr,
+# sampling factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0), byte unstuffing
+# (FF00) and DRI/RSTn restart markers. Progressive (SOF2) raises ValueError
+# and falls back to the labeled stub in multimodal.py.
+#
+# Exactness note (what makes the contract oracle possible): for a block that
+# is CONSTANT at value v, the level-shifted DCT has a single coefficient
+# DC = 8·(v−128); with a quantizer whose DC entry divides 8 the roundtrip
+# v → DC → quantize → dequantize → IDCT → round(+128) is EXACT, while the
+# entropy coder, zigzag, byte stuffing and marker framing still run for real.
+# The synthetic contract fixture therefore uses per-8×8-block-constant
+# grayscale images with a flat-8 quantizer, and the DuckDB oracle recomputes
+# pixel sums from the closed form — value-checking the whole bitstream path.
+
+_DCT_A = (
+    np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    * np.where(np.arange(8)[:, None] == 0, 1 / np.sqrt(2), 1.0)
+    / 2
+)
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row-major) index of each zigzag position, generated from the
+    anti-diagonal walk rather than hardcoded."""
+    order = []
+    for d in range(15):
+        rows = range(min(d, 7), max(0, d - 7) - 1, -1) if d % 2 == 0 else range(max(0, d - 7), min(d, 7) + 1)
+        order.extend(r * 8 + (d - r) for r in rows)
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# Annex K example quantization tables (public spec tables; the encoder's
+# default "realism" tables — the contract fixture overrides with flat 8).
+_JPEG_QUANT_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64,
+)
+_JPEG_QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64,
+)
+
+# Encoder Huffman tables: uniform-length canonical codes (DC: 12 symbols at
+# 4 bits; AC: the standard 162-symbol alphabet at 8 bits). Valid baseline
+# tables (carried in DHT, so any conforming decoder reads them); simpler and
+# deterministic vs frequency-optimal tables, at some compression-ratio cost —
+# irrelevant here, the machinery is what's exercised.
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_SYMBOLS = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+def _huff_canonical(bits_per_symbol: int, symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), all codes the same length, canonical order."""
+    return {sym: (i, bits_per_symbol) for i, sym in enumerate(symbols)}
+
+
+def _huff_decode_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} via T.81's canonical
+    code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment: unstuffs FF00,
+    stops (without consuming) at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.buf[self.pos + 1] != 0x00:
+                raise ValueError("hit marker inside entropy segment")
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+    def restart(self, expect_idx: int) -> None:
+        """Align to byte boundary and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + (expect_idx % 8):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received magnitude bits to a signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG decode (SOF0/SOF1, Huffman, single scan). Returns
+    (width, height, h×w×3 uint8 RGB). Grayscale is replicated to RGB like the
+    PNG gray path; 3-component scans are YCbCr (BT.601 round-half-even
+    conversion). Raises ValueError on progressive/arithmetic variants."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq:  # 16-bit entries
+                    qt[tq] = np.frombuffer(seg, dtype=">u2", count=64, offset=off).astype(np.int64)
+                    off += 128
+                else:
+                    qt[tq] = np.frombuffer(seg, dtype=np.uint8, count=64, offset=off).astype(np.int64)
+                    off += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                huff[(tc, th)] = _huff_decode_table(bits, seg[off + 17 : off + 17 + nvals])
+                off += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline shapes)
+            _prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (fw, fh, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame[2] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            return _jpeg_decode_scan(payload, pos + ln, frame, scan, qt, huff, restart_interval)
+        # APPn / COM / others: skip
+        pos += ln
+    raise ValueError("JPEG contains no scan")
+
+
+def _jpeg_decode_scan(buf, pos, frame, scan, qt, huff, restart_interval):
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    reader = _JpegBitReader(buf, pos)
+    pred = {c["id"]: 0 for c in comps}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst)
+            rst += 1
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for comp, td, ta in scan:
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    t = reader.huff(huff[(0, td)])
+                    pred[comp["id"]] += _jpeg_extend(reader.bits(t), t)
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _jpeg_extend(reader.bits(s), s)
+                        k += 1
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[_ZZ] = zz * q
+                    block = _DCT_A.T @ nat.reshape(8, 8) @ _DCT_A
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    # crop each plane to the component raster, upsample to full size
+    out_planes = []
+    for c in comps:
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        p = planes[c["id"]][:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.rint(out_planes[0] + 128), 0, 255).astype(np.uint8)
+        return fw, fh, np.repeat(g[:, :, None], 3, axis=2)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = (p + 128 for p in out_planes)
+    cb, cr = cb - 128, cr - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def marker(self, m: int) -> None:
+        self.flush()
+        self.out += bytes([0xFF, m])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: np.ndarray | tuple[np.ndarray, np.ndarray] | int | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder: forward DCT (numpy), integer quantization,
+    canonical-Huffman entropy coding, byte stuffing, optional 4:2:0
+    subsampling and DRI/RSTn restart markers. ``arr`` is h×w grayscale or
+    h×w×3 RGB. ``quant``: an int makes a flat table (8 → exact roundtrip for
+    block-constant input, see module note); a 64-vector (natural order) is
+    used for all components; a pair splits luma/chroma; None uses the Annex K
+    spec tables."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    if isinstance(quant, int):
+        qluma = qchroma = np.full(64, quant, dtype=np.int64)
+    elif quant is None:
+        qluma, qchroma = _JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA
+    elif isinstance(quant, tuple):
+        qluma, qchroma = (np.asarray(q, dtype=np.int64) for q in quant)
+    else:
+        qluma = qchroma = np.asarray(quant, dtype=np.int64)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = np.rint(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        cr = np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+        if subsample:  # 4:2:0 — chroma = mean of each 2×2 (padded to even)
+            def half(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return np.rint(
+                    (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4
+                )
+
+            planes = [y, half(cb), half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane (edge-replicate) to its MCU-aligned raster
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+
+    dc_enc = _huff_canonical(4, _JPEG_DC_SYMBOLS)
+    ac_enc = _huff_canonical(8, _JPEG_AC_SYMBOLS)
+    wtr = _JpegBitWriter()
+    wtr.out += b"\xff\xd8"  # SOI (marker() would flush empty acc; fine too)
+
+    def segment(m: int, body: bytes) -> None:
+        wtr.out += bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ([(0, qluma)] if gray else [(0, qluma), (1, qchroma)]):
+        segment(0xDB, bytes([tq]) + bytes(int(q[i]) for i in _ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, ((sh, sv), tq) in enumerate(zip(samp, qts)):
+        sof += bytes([i + 1, (sh << 4) | sv, tq])
+    segment(0xC0, sof)
+    dc_bits = bytes(12 if i == 4 else 0 for i in range(1, 17))
+    ac_bits = bytes(len(_JPEG_AC_SYMBOLS) if i == 8 else 0 for i in range(1, 17))
+    for th in range(1 if gray else 2):
+        segment(0xC4, bytes([0x00 | th]) + dc_bits + bytes(_JPEG_DC_SYMBOLS))
+        segment(0xC4, bytes([0x10 | th]) + ac_bits + bytes(_JPEG_AC_SYMBOLS))
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    segment(0xDA, sos + b"\x00\x3f\x00")
+
+    def put_amplitude(v: int, t: int) -> None:
+        wtr.bits(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def category(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    pred = [0] * len(planes)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (p, (sh, sv), tq) in enumerate(zip(padded, samp, qts)):
+            q = qluma if tq == 0 else qchroma
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = _DCT_A @ block @ _DCT_A.T
+                    # quantize in zigzag order (q is natural-order, index by _ZZ)
+                    zz = np.rint(coef.reshape(64)[_ZZ] / q[_ZZ]).astype(np.int64)
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t = category(diff)
+                    code, ln = dc_enc[t]
+                    wtr.bits(code, ln)
+                    if t:
+                        put_amplitude(diff, t)
+                    nz = np.nonzero(zz[1:])[0]
+                    k = 1
+                    for idx in nz + 1:
+                        run = int(idx) - k
+                        while run >= 16:
+                            code, ln = ac_enc[0xF0]
+                            wtr.bits(code, ln)
+                            run -= 16
+                        s = category(int(zz[idx]))
+                        code, ln = ac_enc[(run << 4) | s]
+                        wtr.bits(code, ln)
+                        put_amplitude(int(zz[idx]), s)
+                        k = int(idx) + 1
+                    if k < 64:
+                        code, ln = ac_enc[0x00]  # EOB
+                        wtr.bits(code, ln)
+    wtr.flush()
+    wtr.out += b"\xff\xd9"  # EOI
+    return bytes(wtr.out)
+
+
 # -------------------------------------------------------------------- resize
 def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resample with floor index mapping

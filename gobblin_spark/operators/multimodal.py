@@ -3,13 +3,16 @@ with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
 Decode status (round 4): REAL stdlib-only decode (``media_codecs``) for
 P6 PPM, 24-bit BMP, **PNG** (zlib inflate + all five scanline filters,
-color types 0/2/3/4/6 at 8-bit), PCM WAV, and back-to-back-P6 "video"
-frame streams. resize/features/frame-sample operate on actual pixel/sample
-values for those formats, and the DuckDB contract oracles check the pixel
-math value-for-value. Natively-coded formats (JPEG/H.264 — this container
-has no libjpeg/PIL/pyav, verified each round) still fall back to the
-deterministic sha256 STUB; swapping in a real decoder means replacing only
-the fallback branches marked STUB below.
+color types 0/2/3/4/6 at 8-bit), **GIF** (LZW, animation, interlace),
+**baseline JPEG** (Huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
+restart markers), PCM WAV, and back-to-back-P6 "video" frame streams.
+resize/features/frame-sample operate on actual pixel/sample values for
+those formats, and the DuckDB contract oracles check the pixel math
+value-for-value. The only formats still behind the deterministic sha256
+STUB are the genuinely native-codec ones (progressive/arithmetic JPEG,
+H.264 video — no libjpeg/PIL/pyav in this container, verified each round);
+swapping in a real decoder means replacing only the fallback branches
+marked STUB below.
 """
 
 from __future__ import annotations
@@ -26,12 +29,14 @@ from .media_codecs import (
     decode_bmp,
     decode_gif,
     decode_gif_frames,
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     encode_bmp,
     encode_gif,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -138,9 +143,14 @@ def resize_images(
                         # quantization is the identity (tested)
                         _, _, arr = decode_gif(payload)
                         return encode_gif(resize_nn(arr, width, height))
+                    if fmt == "jpeg":
+                        # re-encode with a flat-1 quantizer: near-lossless
+                        # (±3/channel, tested) and still a real baseline JPEG
+                        _, _, arr = decode_jpeg(payload)
+                        return encode_jpeg(resize_nn(arr, width, height), quant=1)
                 except ValueError:
                     pass  # corrupt/unsupported variant → stub fallback
-                # STUB fallback (JPEG etc.; no native codecs in sandbox)
+                # STUB fallback (progressive JPEG, H.264, …: native-only)
                 return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
 
             yield pd.DataFrame(
@@ -225,6 +235,8 @@ def _decode_any_image(payload: bytes) -> np.ndarray | None:
             return decode_png(payload)[2]
         if fmt == "gif":
             return decode_gif(payload)[2]
+        if fmt == "jpeg":
+            return decode_jpeg(payload)[2]
     except ValueError:
         return None
     return None
@@ -440,6 +452,27 @@ def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             c = np.arange(3, dtype=np.int64)[None, None, :]
             frames.append(((did + 17 * f + 7 * y + 11 * x + 13 * c) % 256).astype(np.uint8))
         return encode_gif(frames, interlace=bool(did % 2))
+
+    return _synth_payload_op(df, id_col, build)
+
+
+def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic baseline JPEGs: per-8×8-block-constant
+    grayscale images with block value (did + 29·bx + 37·by) % 256, encoded
+    through the real entropy coder with a flat-8 quantizer — that combination
+    makes the decode EXACT (see media_codecs JPEG module note), so the DuckDB
+    contract oracle recomputes px_sum from the closed form and value-checks
+    the whole bitstream path: Huffman tables, DC prediction, zigzag, byte
+    stuffing, dequant, IDCT. Restart markers go on the contract path for
+    every did % 3 == 0 payload."""
+
+    def build(did: int) -> bytes:
+        bw, bh = 2 + did % 3, 2 + did % 2
+        bx = np.arange(bw, dtype=np.int64)[None, :]
+        by = np.arange(bh, dtype=np.int64)[:, None]
+        vals = ((did + 29 * bx + 37 * by) % 256).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        return encode_jpeg(img, quant=8, restart_interval=2 if did % 3 == 0 else 0)
 
     return _synth_payload_op(df, id_col, build)
 
