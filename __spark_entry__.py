@@ -48,6 +48,7 @@ from gobblin_spark.operators.multimodal import (
     synth_gif_payloads,
     synth_image_payloads,
     synth_jpeg_payloads,
+    synth_mjpeg_payloads,
     synth_video_payloads,
 )
 from gobblin_spark.operators.similarity import (
@@ -844,6 +845,22 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     return image_stats(payloads, passthrough=["doc_id"])
 
 
+def q_multimodal_video_mjpeg(spark, sf_dir):
+    """REAL compressed-VIDEO path: block-constant frames are entropy-coded as
+    baseline JPEGs and wrapped in a standard RIFF/AVI container
+    (media_codecs.encode_avi_mjpeg), ``sample_frames`` walks the RIFF tree
+    and emits every 2nd frame as its standalone JPEG payload, and
+    ``image_stats`` Huffman-decodes + IDCTs each one. The oracle recomputes
+    width/height/px_sum from the frame closed form
+    v = (doc_id + 19*f + 29*bx + 37*by) % 256 — container parse, chunk
+    alignment, frame extraction and the full JPEG bitstream path are all
+    value-checked (media_codecs.py:decode_avi_mjpeg)."""
+    docs = _docs(spark, sf_dir)
+    payloads = synth_mjpeg_payloads(docs)
+    frames = sample_frames(payloads, every_n=2)
+    return image_stats(frames, passthrough=["doc_id", "frame_idx"], bin_col="frame")
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     """REAL PCM-WAV decode: synth closed-form mono 16-bit WAV payloads via
     the stdlib ``wave`` writer, decode with ``audio_stats``, report
@@ -1107,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_video_mjpeg": q_multimodal_video_mjpeg,
         "multimodal_audio_stats": q_multimodal_audio_stats,
     }
 
@@ -2076,6 +2094,16 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(0, 2 + doc_id % 3), bx ->
                        (doc_id + 29*bx + 37*by) % 256)))) AS BIGINT) AS px_sum
             FROM documents
+        """,
+        "multimodal_video_mjpeg": """
+            SELECT d.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(8 * (2 + d.doc_id % 2) AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(3 * 64 * list_sum(flatten(list_transform(range(0, 2), by ->
+                     list_transform(range(0, 2 + d.doc_id % 2), bx ->
+                       (d.doc_id + 19*f.frame_idx + 29*bx + 37*by) % 256)))) AS BIGINT) AS px_sum
+            FROM documents d,
+                 unnest(range(0, 3 + d.doc_id % 5, 2)) AS f(frame_idx)
         """,
         "multimodal_audio_stats": """
             SELECT doc_id,

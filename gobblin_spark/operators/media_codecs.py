@@ -973,6 +973,76 @@ def encode_jpeg(
     return bytes(wtr.out)
 
 
+# ----------------------------------------------------------------- AVI/MJPEG
+# Motion-JPEG in an AVI container: the one compressed VIDEO format that needs
+# no native codec — the container is RIFF struct parsing and every frame is a
+# standalone baseline JPEG (decoded by decode_jpeg above). This moves video
+# off the sha256 stub the same way PNG/GIF/JPEG moved images off it; H.264 /
+# MP4 remain genuinely native-only.
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """Walk the RIFF tree of an AVI and return the raw JPEG bytes of every
+    video frame ('00dc'/'00db' chunks inside LIST movi, even-aligned per the
+    RIFF rule). Container-level only — callers hand frames to decode_jpeg."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            ln = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                list_type = payload[body_start : body_start + 4]
+                if list_type in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + ln)
+            elif fourcc[2:4] in (b"dc", b"db") and ln >= 2:
+                chunk = payload[body_start : body_start + ln]
+                if chunk[:3] == b"\xff\xd8\xff":
+                    frames.append(chunk)
+            pos = body_start + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no MJPEG frames")
+    return frames
+
+
+def encode_avi_mjpeg(frames_jpeg: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal standard-layout MJPEG AVI: hdrl (avih + one 'vids'/'MJPG'
+    strl) + movi of '00dc' JPEG chunks + idx1."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    max_bytes = max(len(f) for f in frames_jpeg)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, len(frames_jpeg),
+        0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames_jpeg), max_bytes, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames_jpeg)
+    movi = lst(b"movi", movi_body)
+    idx, off = [], 4
+    for f in frames_jpeg:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 # -------------------------------------------------------------------- resize
 def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resample with floor index mapping
@@ -998,7 +1068,9 @@ def sniff_format(payload: bytes) -> str:
     if payload.startswith(b"P6"):
         return "ppm"
     if payload.startswith(b"RIFF"):
-        return "wav" if payload[8:12] == b"WAVE" else "riff"
+        if payload[8:12] == b"WAVE":
+            return "wav"
+        return "avi" if payload[8:12] == b"AVI " else "riff"
     if payload.startswith(b"%PDF"):
         return "pdf"
     return "unknown"

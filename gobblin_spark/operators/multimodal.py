@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .media_codecs import (
+    decode_avi_mjpeg,
     decode_bmp,
     decode_gif,
     decode_gif_frames,
@@ -34,6 +35,7 @@ from .media_codecs import (
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
+    encode_avi_mjpeg,
     encode_bmp,
     encode_gif,
     encode_jpeg,
@@ -174,10 +176,12 @@ def sample_frames(
     """Video frame sampling — 1:N row fan-out through mapInPandas (each input
     payload yields ceil(n_frames / every_n) frame rows). REAL decode for
     PPM frame streams (back-to-back P6 frames — the uncompressed video
-    container stand-in): every_n-th frame is re-encoded as a standalone P6
-    payload. Compressed containers (H.264/MP4) fall back to the
-    deterministic sha256 STUB (no pyav in this container): frame count
-    derived from payload length, frame payloads digest-derived."""
+    container stand-in), animated GIF, and **MJPEG AVI** (RIFF walk; each
+    sampled frame is emitted as its standalone baseline-JPEG payload, so
+    downstream image ops decode it with decode_jpeg). Genuinely native-only
+    containers (H.264/MP4 — no pyav in this container) fall back to the
+    deterministic sha256 STUB: frame count derived from payload length,
+    frame payloads digest-derived."""
 
     out_schema = T.StructType(
         [
@@ -195,24 +199,26 @@ def sample_frames(
                     continue
                 payload = bytes(b)
                 fmt = sniff_format(payload)
-                if fmt in ("ppm", "gif"):
+                if fmt in ("ppm", "gif", "avi"):
                     try:
-                        decoded = (
-                            decode_ppm_stream(payload)
-                            if fmt == "ppm"
-                            else decode_gif_frames(payload)
-                        )
+                        if fmt == "ppm":
+                            decoded = decode_ppm_stream(payload)
+                        elif fmt == "gif":
+                            decoded = decode_gif_frames(payload)
+                        else:  # MJPEG AVI: frames already ARE standalone JPEGs
+                            decoded = decode_avi_mjpeg(payload)
                     except ValueError:
                         decoded = None
                     if decoded is not None:
                         for fi in range(0, len(decoded), every_n):
                             ids.append(int(i))
                             idxs.append(fi)
-                            frames.append(
-                                encode_ppm(decoded[fi])
-                                if fmt == "ppm"
-                                else encode_gif(decoded[fi])
-                            )
+                            if fmt == "ppm":
+                                frames.append(encode_ppm(decoded[fi]))
+                            elif fmt == "gif":
+                                frames.append(encode_gif(decoded[fi]))
+                            else:
+                                frames.append(decoded[fi])
                         continue
                 n_frames = max(1, len(payload) // 64)  # STUB: pyav stream probe
                 for fi in range(0, n_frames, every_n):
@@ -473,6 +479,28 @@ def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         vals = ((did + 29 * bx + 37 * by) % 256).astype(np.uint8)
         img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
         return encode_jpeg(img, quant=8, restart_interval=2 if did % 3 == 0 else 0)
+
+    return _synth_payload_op(df, id_col, build)
+
+
+def synth_mjpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic MJPEG AVIs: 3 + did % 5 block-constant
+    grayscale frames, each entropy-coded as a real baseline JPEG (flat-8
+    quantizer ⇒ exact decode; frame f block value
+    (did + 19·f + 29·bx + 37·by) % 256 over a (2 + did % 2) × 2 block grid),
+    wrapped in a standard RIFF/AVI container — the compressed-video analogue
+    of the GIF contract fixture."""
+
+    def build(did: int) -> bytes:
+        bw, bh = 2 + did % 2, 2
+        bx = np.arange(bw, dtype=np.int64)[None, :]
+        by = np.arange(bh, dtype=np.int64)[:, None]
+        frames = []
+        for f in range(3 + did % 5):
+            vals = ((did + 19 * f + 29 * bx + 37 * by) % 256).astype(np.uint8)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            frames.append(encode_jpeg(img, quant=8))
+        return encode_avi_mjpeg(frames, w=8 * bw, h=8 * bh)
 
     return _synth_payload_op(df, id_col, build)
 

@@ -15,11 +15,18 @@ import pytest
 from gobblin_spark.operators.media_codecs import (
     _JPEG_QUANT_LUMA,
     _ZZ,
+    decode_avi_mjpeg,
     decode_jpeg,
+    encode_avi_mjpeg,
     encode_jpeg,
     sniff_format,
 )
-from gobblin_spark.operators.multimodal import image_stats, synth_jpeg_payloads
+from gobblin_spark.operators.multimodal import (
+    image_stats,
+    sample_frames,
+    synth_jpeg_payloads,
+    synth_mjpeg_payloads,
+)
 
 
 def _block_constant(vals: np.ndarray) -> np.ndarray:
@@ -151,6 +158,45 @@ def test_synth_jpeg_contract_path(spark):
         expect = int(3 * 64 * ((did + 29 * bx + 37 * by) % 256).sum())
         assert (stats[did]["width"], stats[did]["height"]) == (8 * bw, 8 * bh)
         assert stats[did]["px_sum"] == expect
+
+
+def test_avi_mjpeg_container_roundtrip():
+    rng = np.random.RandomState(20)
+    frames = [encode_jpeg(rng.randint(0, 256, (16, 24)).astype(np.uint8), quant=1) for _ in range(5)]
+    avi = encode_avi_mjpeg(frames, w=24, h=16)
+    assert sniff_format(avi) == "avi"
+    assert decode_avi_mjpeg(avi) == frames  # byte-exact chunk extraction
+    # word-alignment: mixed odd/even chunk lengths must both survive the
+    # RIFF pad-byte rule (decoder skips pads, encoder emits them)
+    assert len({len(f) % 2 for f in frames}) == 2 or len(frames[0]) % 2 == 0
+    mixed = frames + [frames[0] + b""]
+    assert decode_avi_mjpeg(encode_avi_mjpeg(mixed, w=24, h=16)) == mixed
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"NOTRIFF!")
+
+
+def test_sample_frames_decodes_mjpeg_avi(spark):
+    """The compressed-video contract path: RIFF walk → standalone JPEGs →
+    exact pixel recovery (block-constant + flat-8 regime)."""
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    frames = sample_frames(synth_mjpeg_payloads(docs), every_n=2)
+    stats = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in image_stats(frames, ["doc_id", "frame_idx"], bin_col="frame").collect()
+    }
+    for did in range(5):
+        n_frames = 3 + did % 5
+        idxs = [fi for (d, fi) in stats if d == did]
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+        bw, bh = 2 + did % 2, 2
+        bx, by = np.arange(bw)[None, :], np.arange(bh)[:, None]
+        for fi in idxs:
+            expect = int(3 * 64 * ((did + 19 * fi + 29 * bx + 37 * by) % 256).sum())
+            r = stats[(did, fi)]
+            assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+            assert r["px_sum"] == expect
 
 
 def test_annex_k_luma_table_is_the_spec_table():
