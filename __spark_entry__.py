@@ -552,6 +552,71 @@ def q_cdc_kafka_wire_decode(spark, sf_dir):
     )
 
 
+def q_cdc_debezium_decode(spark, sf_dir):
+    """Debezium-envelope decode (the de-facto binlog/WAL wire format; ≈ the
+    reference's EnvelopeSchemaConverter.java unwrap + KafkaExtractor decode):
+    events are encoded into REAL Debezium JSON envelopes — half wrapped
+    ``{"schema":...,"payload":...}`` (schemas.enable=true), half flat
+    payloads (schemas.enable=false), deletes carrying ``before`` with a
+    null ``after`` — and decoded back through ``debezium_to_changelog``
+    (coalesce over two from_json parses, zero Python in the record path).
+    The DuckDB oracle computes the identity result directly from
+    ``events``, so any drift in op mapping (c/r→I, u→U, d→D), row-image
+    selection (before vs after), source-block precedence (source.ts_ms
+    over envelope ts_ms, binlog pos as log_offset) or JSON escaping
+    hash-mismatches."""
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sources.debezium import debezium_to_changelog, encode_debezium
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 4000)
+    src = ev.select(
+        F.concat(F.lit("http://site/"), F.col("user_id").cast("string")).alias("url"),
+        F.unix_micros(F.col("ts")).alias("warc_ts"),
+        F.col("event_type").alias("lang"),
+        F.expr(
+            "element_at(array('c','u','d','r'), cast(event_id % 4 as int) + 1)"
+        ).alias("op"),
+        F.unix_millis(F.col("ts")).alias("_ts_ms"),
+        F.format_string("binlog.%06d", F.expr("event_id div 1000")).alias(
+            "_binlog_file"
+        ),
+        F.col("event_id").cast("long").alias("_binlog_pos"),
+    )
+    row_cols = ["url", "warc_ts", "lang"]
+    wire = (
+        encode_debezium(src.filter(F.col("_binlog_pos") % 2 == 0), row_cols, wrapped=True)
+        .unionByName(
+            encode_debezium(
+                src.filter(F.col("_binlog_pos") % 2 == 1), row_cols, wrapped=False
+            )
+        )
+        .select(
+            F.pmod(F.col("_binlog_pos"), F.lit(8)).cast("int").alias("partition"),
+            F.col("_binlog_pos").alias("offset"),
+            F.encode(F.col("value"), "UTF-8").alias("value"),
+        )
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    out = debezium_to_changelog(wire, row_schema)
+    return out.select(
+        F.col("log_partition").cast("long").alias("log_partition"),
+        "log_offset",
+        "op",
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("_ts_ms").alias("ts_ms"),
+        F.col("_binlog_file").alias("binlog_file"),
+    )
+
+
 def q_cdc_ack_prefix(spark, sf_dir):
     """Fine-grained watermark tracking: the contiguous-acked-prefix /
     pending-islands computation the streaming fence commits by (≈
@@ -1084,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_between": q_cdc_changes_between,
         "cdc_changes_per_commit": q_cdc_changes_per_commit,
         "cdc_kafka_wire_decode": q_cdc_kafka_wire_decode,
+        "cdc_debezium_decode": q_cdc_debezium_decode,
         "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
@@ -1684,6 +1750,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) AS ts_us,
                    value, props,
                    event_type || '|' || props AS payload_txt
+            FROM events WHERE event_id <= 4000
+        """,
+        "cdc_debezium_decode": """
+            SELECT CAST(event_id % 8 AS BIGINT) AS log_partition,
+                   event_id AS log_offset,
+                   CASE CAST(event_id % 4 AS INT)
+                     WHEN 0 THEN 'I' WHEN 1 THEN 'U'
+                     WHEN 2 THEN 'D' ELSE 'I' END AS op,
+                   'http://site/' || CAST(user_id AS VARCHAR) AS url,
+                   epoch_us(ts) AS warc_ts,
+                   event_type AS lang,
+                   epoch_ms(ts) AS ts_ms,
+                   printf('binlog.%06d', event_id // 1000) AS binlog_file
             FROM events WHERE event_id <= 4000
         """,
         "cdc_ack_prefix": """
