@@ -322,6 +322,73 @@ def q_cdc_engine_replay(spark, sf_dir):
     )
 
 
+def q_cdc_point_lookup(spark, sf_dir):
+    """Metadata-planned point lookups against a sort-ordered, stats-carrying
+    table (Iceberg data-file column stats + SortOrder): events ≤ 8000 replay
+    through the engine into a table created with sort_order=["url"], then
+    compact() rewrites each bucket key-sorted and records per-file [min,max]
+    key ranges in the manifest. Each probe key resolves DRIVER-SIDE — pure-
+    Python XXH64 (pinned equal to Spark's) → bucket → manifest shard →
+    candidate files by range — and only those files are scanned
+    (``read(key_equals=...)``); the plan's inputFiles is asserted ≤ 1 per
+    probe. The DuckDB oracle recomputes the probes' final state from the
+    raw events with an independent window fold, so a wrongly-skipped file
+    (bad stats, hash drift between the Python and JVM XXH64, range
+    boundary error) drops a row and hash-mismatches."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 8000)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+    root = tempfile.mkdtemp(prefix="point-lookup-")
+    table = SnapshotTable.create(
+        spark,
+        f"{root}/pages",
+        schema,
+        key="url",
+        n_buckets=8,
+        sort_order=["url"],
+        properties={"write.max-records-per-file": "100", "write.bloom.cols": "url"},
+    )
+    CdcEngine(spark, table, job_id="contract-pl", extract=False).run(changelog)
+    table.compact()
+    out = None
+    for uid in (7, 23, 55, 89, 144):
+        hit = table.read(key_equals=f"u{uid}")
+        n_files = len(hit.inputFiles())
+        if n_files > 1:  # sorted + folded: one row per key, one file can hold it
+            raise AssertionError(f"point lookup for u{uid} scanned {n_files} files")
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_wap_publish(spark, sf_dir):
     """WRITE-AUDIT-PUBLISH end-to-end (Iceberg SnapshotRef branches +
     fast_forward; Gobblin staged publish, BaseDataPublisher staging→final):
@@ -1153,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
         "conv_json_decode": q_conv_json_decode,
@@ -1588,6 +1656,20 @@ def oracle_sql() -> dict[str, str]:
             FROM live GROUP BY user_id
         """,
         "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
+        "cdc_point_lookup": f"""
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   ts AS last_ts,
+                   event_type AS last_type,
+                   value AS last_value,
+                   props AS last_props
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id <= 8000
+            ) WHERE rn = 1 AND event_type <> '{DELETE_TYPE}'
+              AND user_id IN (7, 23, 55, 89, 144)
+        """,
         "cdc_wap_publish": snapshot,  # stage-on-branch + publish ≡ direct ingest
         "cdc_watermark_discovery": """
             SELECT user_id % 8 AS log_partition, max(event_id) AS high,

@@ -181,6 +181,7 @@ class SnapshotTable:
         properties: dict | None = None,
         max_generations: int = 8,
         manifest_shards: int = 0,
+        sort_order: list[str] | None = None,
     ) -> "SnapshotTable":
         """``manifest_shards`` > 0 switches the bucket index to SHARDED
         persistence (Iceberg manifest-list model, see _commit): pass
@@ -201,6 +202,7 @@ class SnapshotTable:
             "schemas": {"0": schema.jsonValue()},
             "buckets": {},
             "properties": properties or {},
+            "sort_order": list(sort_order or []),
             "parent": None,
         }
         t._commit(manifest)
@@ -258,6 +260,119 @@ class SnapshotTable:
         """Deterministic layout bucket of the merge key (xxhash64, the same
         function Spark uses executor-side — no driver involvement)."""
         return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
+
+    def bucket_of(self, value: str) -> int:
+        """Layout bucket of one key value, computed DRIVER-SIDE (pure-Python
+        XXH64, pinned equal to Spark's) — a point lookup resolves key →
+        bucket → manifest shard → candidate files from metadata alone, no
+        job launched for planning."""
+        from .xxh64 import xxh64
+
+        return xxh64(str(value).encode("utf-8")) % self.n_buckets
+
+    # ------------------------------------------------ sort order (clustering)
+    @property
+    def sort_order(self) -> list[str]:
+        """Columns data files are clustered by on rewrite (≈ Iceberg
+        SortOrder). Empty = unsorted. Sorting within bucket files makes
+        parquet row-group/file min-max stats on the leading column narrow,
+        so point and range reads skip row groups — and, via the manifest's
+        per-file ranges captured at compaction, skip whole FILES without
+        opening their footers."""
+        return list(self.manifest().get("sort_order") or [])
+
+    def replace_sort_order(self, cols: list[str]) -> None:
+        """Metadata-only commit (≈ Iceberg ReplaceSortOrder): applies to
+        FUTURE rewrites; existing files keep their layout until the next
+        compact()."""
+        names = set(self.schema().fieldNames()) | set(HIDDEN)
+        bad = [c for c in cols if c not in names]
+        if bad:
+            raise ValueError(f"sort_order columns not in schema: {bad}")
+        m = dict(self.manifest())
+        m["sort_order"] = list(cols)
+        m["parent"] = m["version"]
+        m["version"] = self._next_version(m["version"] + 1)
+        self._commit(m)
+
+    def _clustered(self, df: DataFrame, m: dict, n_parts: int | None = None) -> DataFrame:
+        """Bucket-partitioned and (when a sort order is set) sorted within
+        partitions. sortWithinPartitions adds no exchange — the hash
+        partitioning Catalyst sees is preserved."""
+        df = df.repartition(n_parts or int(m["n_buckets"]), F.col("_bucket"))
+        so = [c for c in m.get("sort_order") or [] if c in df.columns]
+        if so:
+            df = df.sortWithinPartitions("_bucket", *so)
+        return df
+
+    @staticmethod
+    def _writer(df: DataFrame, m: dict):
+        """Overwrite writer with the table's parquet write options applied:
+        ``write.bloom.cols`` (comma list) turns on parquet bloom filters for
+        those columns (point-lookup row-group skipping on high-cardinality
+        keys where min-max stats alone are too coarse);
+        ``write.max-records-per-file`` bounds file size so per-file stats
+        stay selective."""
+        w = df.write.mode("overwrite")
+        props = m.get("properties") or {}
+        for c in (props.get("write.bloom.cols") or "").split(","):
+            c = c.strip()
+            if c:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        mrpf = props.get("write.max-records-per-file")
+        if mrpf:
+            w = w.option("maxRecordsPerFile", int(mrpf))
+        return w
+
+    def _file_key_ranges(self, out_path: str) -> dict[int, dict[str, list[str]]]:
+        """Per-file [min, max] of the merge key from parquet footers
+        (Iceberg data-file column stats; thread-pooled — footers are
+        independent ~KB reads). {bucket: {filename: [min, max]}}. A bucket
+        where ANY file lacks usable stats gets no entry at all, so a
+        manifest ``ranges`` block always covers every file of its bucket
+        (the pruning invariant ``read`` relies on). Parquet string stats
+        may be truncated, but truncated bounds remain valid bounds per the
+        spec, so pruning on them is safe."""
+        import concurrent.futures as cf
+
+        import pyarrow.parquet as pq
+
+        key = self.key
+
+        def _stats(path: str) -> list[str] | None:
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if key not in idx:
+                return None
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[key]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            return None if lo is None else [str(lo), str(hi)]
+
+        jobs: list[tuple[int, str, str]] = []
+        for d in sorted(os.listdir(out_path)):
+            if not d.startswith("_bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            for f in sorted(os.listdir(os.path.join(out_path, d))):
+                if f.endswith(".parquet"):
+                    jobs.append((b, f, os.path.join(out_path, d, f)))
+        out: dict[int, dict[str, list[str]]] = {}
+        dead: set[int] = set()
+        with cf.ThreadPoolExecutor(max_workers=32) as ex:
+            for (b, f, _), rng in zip(jobs, ex.map(lambda j: _stats(j[2]), jobs)):
+                if rng is None:
+                    dead.add(b)
+                else:
+                    out.setdefault(b, {})[f] = rng
+        for b in dead:
+            out.pop(b, None)
+        return out
 
     def _commit(self, manifest: dict) -> None:
         self._assert_writable()  # tags refuse commits
@@ -566,6 +681,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         include_hidden: bool = False,
         at_version: int | None = None,
+        key_equals: str | None = None,
     ) -> DataFrame:
         """Scan, pruned to ``buckets`` when given. Data-file groups written
         under older schemas are cast (widen/null-fill) to the current schema
@@ -584,8 +700,22 @@ class SnapshotTable:
         collapse entirely: the extra shuffle is paid only for the fraction of
         the table that compaction hasn't folded yet, which is what makes
         delta commits O(batch) on write without making every read O(table)
-        in shuffle."""
+        in shuffle.
+
+        ``key_equals`` plans a POINT LOOKUP from metadata alone: the key's
+        bucket is resolved driver-side (pure-Python XXH64, no job), and
+        within that bucket only the data files whose manifest-carried
+        [min, max] key range can contain the key are scanned — entries
+        without ranges (not yet compacted under stats collection) fall back
+        to the whole bucket dir. The equality FILTER itself is still
+        applied, so the result is exact either way; with a key-leading sort
+        order this touches 1 bucket and typically 1 file of the table."""
         m = self.manifest() if at_version is None else self.manifest_at(at_version)
+        probe = None
+        if key_equals is not None:
+            probe = str(key_equals)
+            kb = self.bucket_of(probe)
+            buckets = [kb] if buckets is None else [b for b in buckets if b == kb]
         schemas = m["schemas"]
 
         def _era_schema(schema_id: int) -> T.StructType:
@@ -605,9 +735,22 @@ class SnapshotTable:
             entries = self._bucket_entries(e)
             target = single if len(entries) == 1 else multi
             for ent in entries:
-                target.setdefault((ent["data"], ent["schema_id"]), []).append(
-                    os.path.join(self.root, ent["data"], f"_bucket={b}")
-                )
+                bucket_dir = os.path.join(self.root, ent["data"], f"_bucket={b}")
+                ranges = ent.get("ranges") if probe is not None else None
+                if ranges is not None:
+                    # file-level skip: ranges cover EVERY file of the entry
+                    # (the _file_key_ranges invariant), so files outside the
+                    # probe's range provably hold no matching row
+                    paths = [
+                        os.path.join(bucket_dir, fn)
+                        for fn, (lo, hi) in sorted(ranges.items())
+                        if lo <= probe <= hi
+                    ]
+                    if not paths:
+                        continue
+                else:
+                    paths = [bucket_dir]
+                target.setdefault((ent["data"], ent["schema_id"]), []).extend(paths)
 
         def _load(groups: dict[tuple[str, int], list[str]]) -> DataFrame | None:
             parts: list[DataFrame] = []
@@ -634,6 +777,10 @@ class SnapshotTable:
             out = base
         else:
             out = base.unionByName(delta)
+        if probe is not None:
+            # file pruning dropped rows of OTHER keys; the equality filter
+            # makes the result exact regardless of which files survived
+            out = out.filter(F.col(self.key) == probe)
         if not include_hidden:
             out = out.filter(~F.col("_deleted")).drop(*HIDDEN)
         return out
@@ -827,9 +974,11 @@ class SnapshotTable:
             new_version = self._next_version(m["version"] + 1)
             data_rel = f"data/v{new_version:06d}"
             out_path = os.path.join(self.root, data_rel)
-            u.select([*names, "_bucket"]).write.mode("overwrite").partitionBy(
-                "_bucket"
-            ).parquet(out_path)
+            u_out = u.select([*names, "_bucket"])
+            so = [c for c in m.get("sort_order") or [] if c in u_out.columns]
+            if so:
+                u_out = u_out.sortWithinPartitions("_bucket", *so)
+            self._writer(u_out, m).partitionBy("_bucket").parquet(out_path)
             file_counts = _bucket_file_counts(out_path)
             written = set(file_counts)
             # O(batch) manifest view: only written buckets enter the overlay
@@ -890,8 +1039,8 @@ class SnapshotTable:
                     all_gens, [key], ["_version_ts", "_version_off"]
                 ).select(names)
                 collapsed = collapsed.withColumn("_bucket", self.bucket_expr())
-                collapsed.repartition(len(overflow), F.col("_bucket")).write.mode(
-                    "overwrite"
+                self._writer(
+                    self._clustered(collapsed, m, n_parts=len(overflow)), m
                 ).partitionBy("_bucket").parquet(fold_path)
                 fold_counts = _bucket_file_counts(fold_path)
                 for b in overflow:
@@ -965,7 +1114,12 @@ class SnapshotTable:
         new_version = self._next_version(m["version"] + 1)
         data_rel = f"data/v{new_version:06d}"
         out_path = os.path.join(self.root, data_rel)
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
+        # sortWithinPartitions only — no repartition, the co-partitioned
+        # join's single exchange per side stays the whole shuffle story
+        so = [c for c in m.get("sort_order") or [] if c in merged.columns]
+        if so:
+            merged = merged.sortWithinPartitions("_bucket", *so)
+        self._writer(merged, m).partitionBy("_bucket").parquet(out_path)
 
         # Manifest entries advance only for buckets the write actually
         # produced. `affected` may be a superset of the buckets present in
@@ -1025,15 +1179,25 @@ class SnapshotTable:
             df = df.filter(~F.col("_deleted"))
         new_version = self._next_version(m["version"] + 1)
         data_rel = f"data/v{new_version:06d}"
-        df = df.repartition(self.n_buckets, F.col("_bucket"))
-        df.write.mode("overwrite").partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
+        df = self._clustered(df, m)
+        self._writer(df, m).partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
         file_counts = _bucket_file_counts(os.path.join(self.root, data_rel))
+        # Iceberg-style data-file column stats: per-file [min,max] of the
+        # merge key, captured once at rewrite time from the parquet footers.
+        # With a key-leading sort order the per-file ranges are disjoint, so
+        # a point read opens exactly the files that can hold the key.
+        ranges = self._file_key_ranges(os.path.join(self.root, data_rel))
         manifest = {
             **m,
             "version": new_version,
             "parent": m["version"],
             "buckets": {
-                str(b): {"data": data_rel, "schema_id": m["current_schema_id"], "files": n}
+                str(b): {
+                    "data": data_rel,
+                    "schema_id": m["current_schema_id"],
+                    "files": n,
+                    **({"ranges": ranges[b]} if b in ranges else {}),
+                }
                 for b, n in sorted(file_counts.items())
             },
             "properties": {**m["properties"], **(properties or {})},
