@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -347,7 +348,10 @@ class JobSpec:
                 errors.write.mode("append").parquet(self.err_file)
             df = df.filter(pred)
         out_dir = self._table_root()
-        batch = f"batch-{time.strftime('%Y%m%dT%H%M%S')}-{len(files)}"
+        # uuid suffix: two publishes inside the same wall-clock second must not
+        # collide on the staging->final rename (publish dirs are enumerated by
+        # listing, never reconstructed by name)
+        batch = f"batch-{time.strftime('%Y%m%dT%H%M%S')}-{len(files)}-{uuid.uuid4().hex[:6]}"
         staging = os.path.join(self.staging_dir or out_dir + ".staging", batch)
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(out_dir, exist_ok=True)

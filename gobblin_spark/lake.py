@@ -29,11 +29,13 @@ parts"). ``compact()`` drops tombstones once they are no longer needed.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import tempfile
 import time
+import uuid
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,7 +164,33 @@ def _bucket_file_counts(out_path: str) -> dict[int, int]:
     return counts
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer moved the table head between this commit's base read
+    and its pointer swap — the Iceberg ``ValidationException`` analogue
+    (org.apache.iceberg SnapshotProducer's commit validation; the reference
+    leans on it via IcebergMetadataWriter.java:893 commitTransaction).
+    Rebasable commit shapes retry automatically against the refreshed head
+    (delta MERGE generation appends — commutative under LWW — and
+    property-only commits); rewrite-shape commits (compact, rewrite MERGE,
+    delete_where) re-raise, because their written data derives from a stale
+    read of the target and must be recomputed."""
+
+    def __init__(self, ref: str, expected, actual):
+        super().__init__(
+            f"concurrent commit on ref {ref!r}: this commit was built from "
+            f"v{expected}, but the head is now v{actual}"
+        )
+        self.expected = expected
+        self.actual = actual
+
+
 class SnapshotTable:
+    # Optimistic-concurrency commit lock bounds (class attrs so tests can
+    # tighten them): the lock guards only metadata-sized IO — validation +
+    # manifest/shard writes + pointer swap — never a data parquet write.
+    LOCK_TIMEOUT_S = 30.0
+    LOCK_STALE_S = 60.0
+
     def __init__(self, spark: SparkSession, root: str, ref: str = "main"):
         self.spark = spark
         self.root = root
@@ -374,8 +402,89 @@ class SnapshotTable:
             out.pop(b, None)
         return out
 
+    def _head_version(self) -> int | None:
+        """Committed head of this handle's ref, read from DISK (never the
+        cached manifest) — the value optimistic validation compares against."""
+        if self.ref == "main":
+            try:
+                with open(os.path.join(self.root, "meta", "_current")) as f:
+                    return int(f.read().strip())
+            except FileNotFoundError:
+                return None
+        try:
+            return int(self._read_ref(self.ref)["version"])
+        except KeyError:
+            return None
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Short mutual-exclusion window around head validation + pointer
+        swap (Iceberg delegates this CAS to the catalog; a filesystem table
+        gets the same effect from an O_EXCL lock file, the HadoopTableOperations
+        pattern). A lock older than ``LOCK_STALE_S`` is reclaimed — a crashed
+        committer's swap either already happened or left only unreferenced
+        files, the usual replay story."""
+        meta = os.path.join(self.root, "meta")
+        os.makedirs(meta, exist_ok=True)
+        lock = os.path.join(meta, f"_lock.{self.ref}")
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
+                        os.unlink(lock)  # crashed committer; reclaim
+                        continue
+                except FileNotFoundError:
+                    continue  # released between open and stat; retry now
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held for more than "
+                        f"{self.LOCK_TIMEOUT_S}s by another writer"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _alloc_data_rel(self, version: int, tag: str = "") -> str:
+        """Data dir for a new commit. Deterministic (``data/v{N}``) in the
+        single-writer fast path; if a CONCURRENT in-flight writer already
+        created that dir (both picked the same next version before either
+        committed), a unique suffix keeps their parquet writes disjoint —
+        manifests reference data dirs by recorded name, so readers never
+        reconstruct the path from the version number."""
+        rel = f"data/v{version:06d}{tag}"
+        if os.path.exists(os.path.join(self.root, rel)):
+            rel = f"{rel}-w{uuid.uuid4().hex[:8]}"
+        return rel
+
     def _commit(self, manifest: dict) -> None:
+        with self._commit_lock():
+            self._commit_locked(manifest)
+
+    def _commit_locked(self, manifest: dict) -> None:
         self._assert_writable()  # tags refuse commits
+        # Optimistic-concurrency validation (Iceberg SnapshotProducer):
+        # the head this commit was derived from must still BE the head.
+        # version==0 is create/truncate (pre-existing overwrite semantics);
+        # a crash-replay overwrite has parent == head and passes.
+        head = self._head_version()
+        if (
+            head is not None
+            and manifest.get("version", 0) != 0
+            and "parent" in manifest
+            and manifest["parent"] != head
+        ):
+            raise CommitConflictError(self.ref, manifest["parent"], head)
         meta = os.path.join(self.root, "meta")
         manifest["committed_at"] = time.time()  # read by time-based retention
         os.makedirs(meta, exist_ok=True)
@@ -472,12 +581,23 @@ class SnapshotTable:
         self._manifest = manifest
 
     def update_properties(self, delta: dict) -> None:
-        """Metadata-only commit (≈ change_property GMCE)."""
-        m = dict(self.manifest())
-        m["properties"] = {**m["properties"], **delta}
-        m["parent"] = m["version"]
-        m["version"] = self._next_version(m["version"] + 1)
-        self._commit(m)
+        """Metadata-only commit (≈ change_property GMCE). Property deltas
+        are trivially rebasable, so a concurrent-commit conflict retries
+        against the refreshed head automatically."""
+        last: CommitConflictError | None = None
+        for attempt in range(5):
+            if attempt:
+                self._manifest = None  # refresh to the new head and rebase
+            m = dict(self.manifest())
+            m["properties"] = {**m["properties"], **delta}
+            m["parent"] = m["version"]
+            m["version"] = self._next_version(m["version"] + 1)
+            try:
+                self._commit(m)
+                return
+            except CommitConflictError as e:
+                last = e
+        raise last  # pragma: no cover - >5 conflicting writers
 
     # ----------------------------------------------------- named refs (WAP)
     # Iceberg-style branches and tags (SnapshotRef): a ref is a named pointer
@@ -910,6 +1030,68 @@ class SnapshotTable:
         )
 
     # --------------------------------------------------------------- merge
+    def _rebase_delta(
+        self,
+        file_counts: dict[int, int],
+        data_rel: str,
+        file_schema: T.StructType,
+        properties: dict | None,
+    ) -> tuple[int, bool]:
+        """Optimistic-concurrency retry for a delta MERGE whose first commit
+        hit a concurrent head move (Iceberg SnapshotProducer's commit loop,
+        re-validated against the refreshed table). Generation appends are
+        COMMUTATIVE under LWW — read() collapses generations by
+        (_version_ts, _version_off), never by file order, so two concurrent
+        batches appending to the same bucket read back identically in either
+        commit order. The rebase is therefore pure metadata: re-derive each
+        touched bucket's entry list from the NEW head and append this batch's
+        already-written generation (the parquet files are reused verbatim).
+        Folding is skipped on a rebase (the next commit folds). A concurrent
+        schema change the written files don't carry aborts — the files can't
+        be tagged with a schema id that doesn't match their columns."""
+        last: CommitConflictError | None = None
+        for _ in range(5):
+            self._manifest = None
+            m = self.manifest()
+            schema_now = self.schema()
+            if merge_schemas(schema_now, file_schema) != file_schema:
+                # the new head evolved past what this batch's files hold:
+                # the files can't become the current schema, abort to caller
+                raise CommitConflictError(self.ref, None, m["version"])
+            schema_changed = file_schema != schema_now
+            schema_id = m["current_schema_id"] + (1 if schema_changed else 0)
+            schemas = dict(m["schemas"])
+            if schema_changed:
+                schemas[str(schema_id)] = file_schema.jsonValue()
+            bmap = m["buckets"]
+            overlay: dict[str, list] = {}
+            for b in sorted(file_counts):
+                prev = bmap.get(str(b))
+                ents = list(self._bucket_entries(prev)) if prev is not None else []
+                ents.append(
+                    {"data": data_rel, "schema_id": schema_id, "files": file_counts[b]}
+                )
+                overlay[str(b)] = ents
+            new_version = self._next_version(m["version"] + 1)
+            ov = OverlaidIndex(bmap, overlay, set())
+            sharded = int(m.get("manifest_shards") or 0) > 0
+            try:
+                self._commit(
+                    {
+                        **m,
+                        "version": new_version,
+                        "parent": m["version"],
+                        "current_schema_id": schema_id,
+                        "schemas": schemas,
+                        "buckets": ov if sharded else dict(ov),
+                        "properties": {**m["properties"], **(properties or {})},
+                    }
+                )
+                return new_version, schema_changed
+            except CommitConflictError as e:
+                last = e
+        raise last  # pragma: no cover - >5 conflicting writers
+
     def merge(
         self,
         updates: DataFrame,
@@ -972,7 +1154,7 @@ class SnapshotTable:
 
         if mode == "delta":
             new_version = self._next_version(m["version"] + 1)
-            data_rel = f"data/v{new_version:06d}"
+            data_rel = self._alloc_data_rel(new_version)
             out_path = os.path.join(self.root, data_rel)
             u_out = u.select([*names, "_bucket"])
             so = [c for c in m.get("sort_order") or [] if c in u_out.columns]
@@ -1016,7 +1198,7 @@ class SnapshotTable:
             )
             folded = []
             if overflow:
-                fold_rel = f"data/v{new_version:06d}f"
+                fold_rel = self._alloc_data_rel(new_version, "f")
                 fold_path = os.path.join(self.root, fold_rel)
                 by_schema: dict[int, list[str]] = {}
                 for b in overflow:
@@ -1057,25 +1239,33 @@ class SnapshotTable:
 
             ov = OverlaidIndex(bmap, overlay, removed)
             sharded = int(m.get("manifest_shards") or 0) > 0
-            self._commit(
-                {
-                    **m,
-                    "version": new_version,
-                    "parent": m["version"],
-                    "current_schema_id": schema_id,
-                    "schemas": schemas,
-                    # inline manifests JSON-serialize the index, so they
-                    # materialize; sharded mode keeps the O(batch) overlay
-                    "buckets": ov if sharded else dict(ov),
-                    "properties": {**m["properties"], **(properties or {})},
-                }
-            )
+            rebased = False
+            try:
+                self._commit(
+                    {
+                        **m,
+                        "version": new_version,
+                        "parent": m["version"],
+                        "current_schema_id": schema_id,
+                        "schemas": schemas,
+                        # inline manifests JSON-serialize the index, so they
+                        # materialize; sharded mode keeps the O(batch) overlay
+                        "buckets": ov if sharded else dict(ov),
+                        "properties": {**m["properties"], **(properties or {})},
+                    }
+                )
+            except CommitConflictError:
+                new_version, schema_changed = self._rebase_delta(
+                    file_counts, data_rel, new_schema, properties
+                )
+                folded, rebased = [], True
             return {
                 "version": new_version,
                 "mode": "delta",
                 "affected_buckets": sorted(written),
                 "folded_buckets": folded,
                 "schema_changed": schema_changed,
+                "rebased": rebased,
             }
 
         if affected is None:
@@ -1112,7 +1302,7 @@ class SnapshotTable:
         )
 
         new_version = self._next_version(m["version"] + 1)
-        data_rel = f"data/v{new_version:06d}"
+        data_rel = self._alloc_data_rel(new_version)
         out_path = os.path.join(self.root, data_rel)
         # sortWithinPartitions only — no repartition, the co-partitioned
         # join's single exchange per side stays the whole shuffle story
@@ -1178,7 +1368,7 @@ class SnapshotTable:
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = self._next_version(m["version"] + 1)
-        data_rel = f"data/v{new_version:06d}"
+        data_rel = self._alloc_data_rel(new_version)
         df = self._clustered(df, m)
         self._writer(df, m).partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
         file_counts = _bucket_file_counts(os.path.join(self.root, data_rel))
@@ -1218,7 +1408,7 @@ class SnapshotTable:
         # definitively-matching rows are purged.
         kept = df.filter(F.col("_deleted") | ~F.coalesce(condition, F.lit(False)))
         new_version = self._next_version(m["version"] + 1)
-        data_rel = f"data/v{new_version:06d}"
+        data_rel = self._alloc_data_rel(new_version)
         kept = kept.repartition(self.n_buckets, F.col("_bucket"))
         kept.write.mode("overwrite").partitionBy("_bucket").parquet(
             os.path.join(self.root, data_rel)
