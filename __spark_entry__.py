@@ -453,6 +453,76 @@ def q_cdc_wap_publish(spark, sf_dir):
     )
 
 
+def q_cdc_concurrent_writers(spark, sf_dir):
+    """OPTIMISTIC CONCURRENCY end-to-end (Iceberg SnapshotProducer
+    validate-and-retry; the reference reaches it through
+    IcebergMetadataWriter.java:893 commitTransaction): two independent
+    writer handles on the same table race delta MERGE commits. Writer B
+    reads the head, writer A commits first, so B's commit validation
+    detects the moved head (CommitConflictError) and REBASES — B's
+    already-written generation is appended onto the refreshed manifest
+    (generation appends are commutative under LWW, so either commit order
+    reads back identically). The assert pins that the conflict genuinely
+    fired; the DuckDB oracle recomputes the final state as one LWW window
+    fold over ALL events, so a rebase that dropped, duplicated, or
+    misordered either writer's batch value-hash-mismatches."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.dedup import lww_latest
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.col("ts").alias("_version_ts"),
+        F.col("event_id").alias("_version_off"),
+        (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
+    )
+    hidden = {"_version_ts", "_version_off", "_deleted"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in hidden])
+    root = tempfile.mkdtemp(prefix="concurrent-writers-")
+    # event_id parity split ⇒ both batches update the SAME url key space
+    # (the worst case for a rebase: every bucket is contended)
+    batch = {
+        p: lww_latest(
+            changelog.filter(F.pmod(F.col("event_id"), F.lit(2)) == p),
+            ["url"],
+            ["_version_ts", "_version_off"],
+        )
+        for p in (0, 1)
+    }
+    writer_a = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    writer_b = SnapshotTable(spark, f"{root}/pages")
+    writer_b.manifest()  # B bases its commit on the pre-race head
+    res_a = writer_a.merge(batch[0], mode="delta")
+    res_b = writer_b.merge(batch[1], mode="delta")
+    if res_a.get("rebased") or not res_b.get("rebased"):
+        raise AssertionError(
+            f"expected A clean + B rebased, got A={res_a.get('rebased')} "
+            f"B={res_b.get('rebased')}"
+        )
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
     scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
@@ -1220,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_concurrent_writers": q_cdc_concurrent_writers,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1656,6 +1727,9 @@ def oracle_sql() -> dict[str, str]:
             FROM live GROUP BY user_id
         """,
         "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
+        # two racing delta writers, B rebased ≡ LWW over all events (the
+        # rebase is commutative metadata: either commit order reads equal)
+        "cdc_concurrent_writers": snapshot,
         "cdc_point_lookup": f"""
             SELECT user_id,
                    event_id AS last_event_id,
