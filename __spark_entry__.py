@@ -523,6 +523,82 @@ def q_cdc_concurrent_writers(spark, sf_dir):
     )
 
 
+def q_cdc_purge_delta(spark, sf_dir):
+    """MERGE-ON-READ PREDICATE DELETE end-to-end (Iceberg v2 equality-delete
+    fencing; gobblin-compliance purge): events ≤ 7000 replay through the
+    engine in delta merge mode, then a METADATA-ONLY delete_where
+    ("value >= 80", fenced at the max applied version) commits the purge in
+    O(1) — no data read or written. A second engine run applies the > 7000
+    tail, so keys re-upserted past the fence RESURRECT even when their new
+    row matches the predicate, while rows versioned under the fence stay
+    purged. The DuckDB oracle recomputes the exact fence algebra — one LWW
+    window fold over ALL events minus (pred AND version <= fence) — so a
+    wrong fence comparison, a pred applied pre-collapse (resurrecting stale
+    versions), or a purge lost across the second run's commits all
+    value-hash-mismatch."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+    root = tempfile.mkdtemp(prefix="purge-delta-")
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    CdcEngine(spark, table, job_id="purge", extract=False, merge_mode="delta").run(
+        changelog.filter(F.col("log_offset") <= 7000)
+    )
+    # fence = max applied (version_ts, version_off): the purge covers
+    # everything committed so far and nothing the tail will write
+    fence_us = (
+        changelog.filter(F.col("log_offset") <= 7000)
+        .agg(F.max(F.unix_micros(F.col("warc_ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    res = table.delete_where(
+        "value >= 80", mode="delta", fence_ts_us=int(fence_us), fence_off=7000
+    )
+    assert res["mode"] == "delta"  # metadata-only commit
+    # global ≤7000 split leaves per-partition gaps between the committed
+    # watermark and the tail floor; "earliest" resumes from the tail floor
+    # (the gap offsets were applied by the first run — same as cdc_wap_publish)
+    CdcEngine(
+        spark,
+        table,
+        job_id="purge",
+        extract=False,
+        merge_mode="delta",
+        reset_policy="earliest",
+    ).run(changelog.filter(F.col("log_offset") > 7000))
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
     scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
@@ -1291,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_time_partitioning": q_writer_time_partitioning,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_concurrent_writers": q_cdc_concurrent_writers,
+        "cdc_purge_delta": q_cdc_purge_delta,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1730,6 +1807,29 @@ def oracle_sql() -> dict[str, str]:
         # two racing delta writers, B rebased ≡ LWW over all events (the
         # rebase is commutative metadata: either commit order reads equal)
         "cdc_concurrent_writers": snapshot,
+        # merge-on-read predicate delete with version fencing: final LWW
+        # state minus (pred AND last version <= fence); fence = (max ts of
+        # events <= 7000, offset 7000), replicated literally here
+        "cdc_purge_delta": f"""
+        WITH fence AS (
+          SELECT max(ts) AS fts FROM events WHERE event_id <= 7000
+        )
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               value AS last_value,
+               props AS last_props
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ) AS rn FROM events
+        ), fence
+        WHERE rn = 1
+          AND event_type <> '{DELETE_TYPE}'
+          AND NOT (value >= 80
+                   AND (ts < fts OR (ts = fts AND event_id <= 7000)))
+        """,
         "cdc_point_lookup": f"""
             SELECT user_id,
                    event_id AS last_event_id,

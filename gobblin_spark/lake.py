@@ -901,6 +901,28 @@ class SnapshotTable:
             # file pruning dropped rows of OTHER keys; the equality filter
             # makes the result exact regardless of which files survived
             out = out.filter(F.col(self.key) == probe)
+        # Merge-on-read predicate deletes (Iceberg v2 equality-delete
+        # analogue): a delta delete_where() commit stores only the predicate
+        # + a VERSION FENCE; matching rows whose row version is <= the fence
+        # are marked tombstoned here, POST-collapse — marking the LWW winner
+        # (not filtering pre-collapse) is what keeps a purge from
+        # resurrecting an older, unmatched version of the same key. Marking
+        # instead of filtering also makes the purge visible to every
+        # downstream consumer of read(): visible scans drop the rows,
+        # changes_between classifies them as deletes, and the rewrite/compact
+        # paths materialize the mark into data files. Applied only to rows of
+        # THIS manifest's era (time travel to a pre-delete snapshot sees the
+        # rows). NULL-safe: a predicate that evaluates NULL keeps the row.
+        for d in m.get("delete_preds") or []:
+            us, off = F.lit(int(d["fence_us"])), F.lit(int(d["fence_off"]))
+            row_us = F.unix_micros(F.col("_version_ts"))
+            fenced = (row_us < us) | ((row_us == us) & (F.col("_version_off") <= off))
+            hit = (
+                F.coalesce(F.expr(d["pred"]), F.lit(False))
+                & F.coalesce(fenced, F.lit(False))
+                & ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+            out = out.withColumn("_deleted", F.col("_deleted") | hit)
         if not include_hidden:
             out = out.filter(~F.col("_deleted")).drop(*HIDDEN)
         return out
@@ -976,6 +998,12 @@ class SnapshotTable:
             raise ValueError(f"unknown granularity: {granularity}")
         m_from, m_to = self.manifest_at(v_from), self.manifest_at(v_to)
         changed = self.changed_buckets(m_from, m_to)
+        if (m_from.get("delete_preds") or []) != (m_to.get("delete_preds") or []):
+            # a merge-on-read predicate delete landed inside the window: it
+            # changes visible state WITHOUT touching any bucket entry, so
+            # entry-diff pruning is blind to it — fall back to a full diff
+            # (same caveat class as a window spanning a compaction)
+            changed = None
         key = self.key
         # widest of the two eras so both sides conform to one shape
         sch_to = T.StructType.fromJson(m_to["schemas"][str(m_to["current_schema_id"])])
@@ -1390,17 +1418,84 @@ class SnapshotTable:
                 }
                 for b, n in sorted(file_counts.items())
             },
+            # pending merge-on-read predicate deletes were applied by the
+            # read above (matched rows marked _deleted, then dropped or
+            # materialized) — the purge is now physical, clear the preds
+            "delete_preds": [],
             "properties": {**m["properties"], **(properties or {})},
         }
         self._commit(manifest)
         return {"version": new_version, "buckets": len(file_counts)}
 
-    def delete_where(self, condition, properties: dict | None = None) -> dict:
-        """Physical delete of matching live rows (≈ retention/compliance purge,
+    def delete_where(
+        self,
+        condition,
+        properties: dict | None = None,
+        mode: str = "rewrite",
+        fence_ts_us: int | None = None,
+        fence_off: int | None = None,
+    ) -> dict:
+        """Delete of matching live rows (≈ retention/compliance purge,
         gobblin-data-management/.../retention/policy/TimeBasedRetentionPolicy.java:48,
-        gobblin-modules/gobblin-compliance): rewrites live buckets without the
+        gobblin-modules/gobblin-compliance).
+
+        ``mode="rewrite"`` (default): rewrites live buckets without the
         matching rows in one snapshot commit. Tombstones are preserved (their
-        versions still fence replays)."""
+        versions still fence replays).
+
+        ``mode="delta"`` (merge-on-read, the Iceberg v2 equality-delete
+        shape): a METADATA-ONLY commit — the predicate (an ANSI SQL string)
+        plus a version fence is recorded in the manifest; no data is read or
+        written, so the commit is O(1) regardless of table size. read() marks
+        matching rows whose LWW version is <= the fence as tombstones; the
+        next compact() materializes the purge into data files and clears the
+        predicate. The fence (default: commit wall-clock, max offset) is what
+        makes the delete a point-in-time statement: a key re-upserted LATER
+        with a newer version resurrects even if the new row also matches the
+        predicate — exactly the sequence-number fencing Iceberg equality
+        deletes carry, expressed on the row version instead. At 10^10 rows
+        this is the only deletion shape that can keep up with a compliance
+        stream: rewrite cost is paid once per compaction cycle, not per
+        delete. Metadata-only commits are rebasable — a concurrent-commit
+        conflict retries against the refreshed head automatically."""
+        if mode == "delta":
+            if not isinstance(condition, str):
+                raise TypeError(
+                    "delta delete_where stores the predicate in the manifest: "
+                    "pass an ANSI SQL string, not a Column"
+                )
+            # fail fast: parse AND resolve the predicate against the current
+            # schema now (reads would otherwise fail later, after the commit)
+            self.spark.createDataFrame([], _with_hidden(self.schema())).filter(
+                condition
+            ).schema
+            entry = {
+                "pred": condition,
+                "fence_us": int(fence_ts_us if fence_ts_us is not None else time.time() * 1e6),
+                "fence_off": int(fence_off if fence_off is not None else 2**62),
+            }
+            last: CommitConflictError | None = None
+            for attempt in range(5):
+                if attempt:
+                    self._manifest = None
+                m = dict(self.manifest())
+                m["delete_preds"] = [*(m.get("delete_preds") or []), entry]
+                m["parent"] = m["version"]
+                m["version"] = self._next_version(m["version"] + 1)
+                if properties:
+                    m["properties"] = {**m["properties"], **properties}
+                try:
+                    self._commit(m)
+                    return {
+                        "version": m["version"],
+                        "mode": "delta",
+                        "pending_delete_preds": len(m["delete_preds"]),
+                    }
+                except CommitConflictError as e:
+                    last = e
+            raise last  # pragma: no cover - >5 conflicting writers
+        if mode != "rewrite":
+            raise ValueError(f"unknown delete_where mode: {mode}")
         m = self.manifest()
         df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
         # NULL-safe: a condition that evaluates to NULL (e.g. predicate on a
@@ -1422,6 +1517,9 @@ class SnapshotTable:
                 str(b): {"data": data_rel, "schema_id": m["current_schema_id"], "files": n}
                 for b, n in sorted(file_counts.items())
             },
+            # every bucket was rewritten through read(), which materialized
+            # any pending predicate-delete marks into the data — clear them
+            "delete_preds": [],
             "properties": {**m["properties"], **(properties or {})},
         }
         self._commit(manifest)
