@@ -599,6 +599,73 @@ def q_cdc_purge_delta(spark, sf_dir):
     )
 
 
+def q_cdc_schema_rename(spark, sf_dir):
+    """Column RENAME + DROP DDL mid-ingest (Iceberg UpdateSchema.renameColumn/
+    deleteColumn; the reference evolves Iceberg schemas through
+    IcebergMetadataWriter.java:1039-1078): events ≤ 5000 land under the
+    original schema, then a METADATA-ONLY alter_schema renames value→score
+    and drops html (no data rewritten), and the > 5000 tail lands under the
+    new names. The final read resolves BOTH eras — old files surface their
+    value bytes under score via the recorded name-transition walk, LWW
+    compares versions across the rename boundary. The DuckDB oracle is the
+    plain full-history LWW fold with value aliased to score: a mis-mapped
+    rename (old-era rows reading null score) or a dropped-column leak
+    value-hash-mismatches."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.dedup import lww_latest
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+
+    def _batch(pred, value_name: str, with_html: bool):
+        cols = [
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+            F.col("user_id"),
+            F.col("ts").alias("warc_ts"),
+        ]
+        if with_html:
+            cols.append(
+                F.when(
+                    F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+                ).alias("html")
+            )
+        cols += [
+            F.col("event_type"),
+            F.col("value").alias(value_name),
+            F.col("props"),
+            F.col("event_id"),
+            F.col("ts").alias("_version_ts"),
+            F.col("event_id").alias("_version_off"),
+            (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
+        ]
+        return lww_latest(
+            ev.filter(pred).select(cols), ["url"], ["_version_ts", "_version_off"]
+        )
+
+    first = _batch(F.col("event_id") <= 5000, "value", with_html=True)
+    hidden = {"_version_ts", "_version_off", "_deleted"}
+    schema = T.StructType([f for f in first.schema.fields if f.name not in hidden])
+    root = tempfile.mkdtemp(prefix="schema-rename-")
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    table.merge(first, mode="delta")
+    res = table.alter_schema(renames={"value": "score"}, drops=["html"])
+    assert res["schema_id"] >= 1  # metadata-only DDL commit landed
+    table = SnapshotTable(spark, f"{root}/pages")
+    table.merge(_batch(F.col("event_id") > 5000, "score", with_html=False), mode="delta")
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("score"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
     scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
@@ -1368,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_concurrent_writers": q_cdc_concurrent_writers,
         "cdc_purge_delta": q_cdc_purge_delta,
+        "cdc_schema_rename": q_cdc_schema_rename,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1807,6 +1875,21 @@ def oracle_sql() -> dict[str, str]:
         # two racing delta writers, B rebased ≡ LWW over all events (the
         # rebase is commutative metadata: either commit order reads equal)
         "cdc_concurrent_writers": snapshot,
+        # rename value→score + drop html mid-ingest ≡ plain LWW fold with
+        # value aliased (old-era bytes must surface under the new name)
+        "cdc_schema_rename": f"""
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               value AS score,
+               props AS last_props
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+          ) AS rn FROM events
+        ) WHERE rn = 1 AND event_type <> '{DELETE_TYPE}'
+        """,
         # merge-on-read predicate delete with version fencing: final LWW
         # state minus (pred AND last version <= fence); fence = (max ts of
         # events <= 7000, offset 7000), replicated literally here

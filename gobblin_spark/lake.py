@@ -309,6 +309,95 @@ class SnapshotTable:
         opening their footers."""
         return list(self.manifest().get("sort_order") or [])
 
+    def _to_current_names(self, df: DataFrame, from_id: int, m: dict) -> DataFrame:
+        """Replay the recorded rename/drop transitions from era schema
+        ``from_id`` up to ``m``'s current schema — Iceberg's field-id
+        resolution re-expressed as an ordered walk of name transitions.
+        Order matters: a column dropped at schema i must disappear BEFORE a
+        later schema re-adds the same name (the re-added column is a new
+        field; era data for it is null, never the old column's bytes)."""
+        cur = int(m["current_schema_id"])
+        renames_all = m.get("schema_renames") or {}
+        drops_all = m.get("schema_drops") or {}
+        if not renames_all and not drops_all:
+            return df
+        for i in range(int(from_id) + 1, cur + 1):
+            r = renames_all.get(str(i))
+            if r:
+                df = df.withColumnsRenamed({k: v for k, v in r.items() if k in df.columns})
+            d = drops_all.get(str(i))
+            if d:
+                df = df.drop(*[c for c in d if c in df.columns])
+        return df
+
+    def alter_schema(
+        self, renames: dict[str, str] | None = None, drops: list[str] | None = None
+    ) -> dict:
+        """Column RENAME / DROP as a metadata-only commit (≈ Iceberg
+        UpdateSchema.renameColumn/deleteColumn; the reference evolves Iceberg
+        schemas through IcebergMetadataWriter.java:1039-1078). No data moves:
+        existing files keep their era schema, and reads replay the recorded
+        transition chain (see ``_to_current_names``) to resolve era columns
+        to current names — so a rename is O(1) at any table size, and a
+        re-added name after a drop reads as null for pre-drop data (new
+        field, Iceberg semantics), never as the dropped column's bytes.
+        The merge key and hidden version columns cannot be touched.
+        Metadata-only ⇒ rebasable on concurrent-commit conflict."""
+        renames = dict(renames or {})
+        drops = list(drops or [])
+        if not renames and not drops:
+            raise ValueError("alter_schema: nothing to do")
+        protected = {self.key, *HIDDEN}
+        touched = set(renames) | set(drops)
+        if touched & protected:
+            raise ValueError(f"cannot alter protected columns: {sorted(touched & protected)}")
+        if set(renames) & set(drops):
+            raise ValueError("a column cannot be both renamed and dropped")
+        last: CommitConflictError | None = None
+        for attempt in range(5):
+            if attempt:
+                self._manifest = None
+            m = dict(self.manifest())
+            if m.get("delete_preds"):
+                # a pending merge-on-read delete predicate is a SQL string
+                # that may reference a column being renamed/dropped — it
+                # would stop resolving at read time. Materialize first.
+                raise ValueError(
+                    "alter_schema with pending delete_preds: run compact() "
+                    "to materialize the purge first"
+                )
+            cur = self.schema()
+            names = set(cur.fieldNames())
+            missing = touched - names
+            if missing:
+                raise ValueError(f"alter_schema: unknown columns {sorted(missing)}")
+            surviving = (names - set(renames) - set(drops)) | set(renames.values())
+            if len(surviving) != len(names) - len(drops):
+                raise ValueError(f"alter_schema: rename collides with an existing column")
+            fields = []
+            for f in cur.fields:
+                if f.name in drops:
+                    continue
+                fields.append(T.StructField(renames.get(f.name, f.name), f.dataType, True))
+            new_id = int(m["current_schema_id"]) + 1
+            m["schemas"] = {**m["schemas"], str(new_id): T.StructType(fields).jsonValue()}
+            m["current_schema_id"] = new_id
+            if renames:
+                m["schema_renames"] = {**(m.get("schema_renames") or {}), str(new_id): renames}
+            if drops:
+                m["schema_drops"] = {**(m.get("schema_drops") or {}), str(new_id): drops}
+            m["parent"] = m["version"]
+            m["version"] = self._next_version(m["version"] + 1)
+            # sort orders referencing a renamed/dropped column follow along
+            so = [renames.get(c, c) for c in m.get("sort_order") or [] if c not in drops]
+            m["sort_order"] = so
+            try:
+                self._commit(m)
+                return {"version": m["version"], "schema_id": new_id}
+            except CommitConflictError as e:
+                last = e
+        raise last  # pragma: no cover - >5 conflicting writers
+
     def replace_sort_order(self, cols: list[str]) -> None:
         """Metadata-only commit (≈ Iceberg ReplaceSortOrder): applies to
         FUTURE rewrites; existing files keep their layout until the next
@@ -877,6 +966,9 @@ class SnapshotTable:
             for (_, schema_id), paths in groups.items():
                 stored = _with_hidden(_era_schema(schema_id))
                 df = self.spark.read.schema(stored).parquet(*paths)
+                # resolve era columns to current names (rename/drop chain)
+                # BEFORE conforming — conform matches by name
+                df = self._to_current_names(df, schema_id, m)
                 parts.append(conform(df, full))
             if not parts:
                 return None
@@ -1009,8 +1101,15 @@ class SnapshotTable:
         sch_to = T.StructType.fromJson(m_to["schemas"][str(m_to["current_schema_id"])])
         full = _with_hidden(sch_to)
         names = full.fieldNames()
+        # the old era's column names may have been renamed/dropped inside the
+        # window — walk them forward to v_to's names before conforming
         old = conform(
-            self.read(buckets=changed, include_hidden=True, at_version=v_from), full
+            self._to_current_names(
+                self.read(buckets=changed, include_hidden=True, at_version=v_from),
+                m_from["current_schema_id"],
+                m_to,
+            ),
+            full,
         )
         new = conform(
             self.read(buckets=changed, include_hidden=True, at_version=v_to), full
@@ -1239,9 +1338,9 @@ class SnapshotTable:
                     stored = _with_hidden(
                         T.StructType.fromJson(schemas[str(sid)])
                     )
-                    parts.append(
-                        conform(self.spark.read.schema(stored).parquet(*paths), full)
-                    )
+                    gen = self.spark.read.schema(stored).parquet(*paths)
+                    gen = self._to_current_names(gen, sid, m)
+                    parts.append(conform(gen, full))
                 all_gens = parts[0]
                 for p in parts[1:]:
                     all_gens = all_gens.unionByName(p)
