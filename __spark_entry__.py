@@ -666,6 +666,68 @@ def q_cdc_schema_rename(spark, sf_dir):
     )
 
 
+def q_cdc_rebucket(spark, sf_dir):
+    """BUCKET-COUNT EVOLUTION mid-ingest (≈ Iceberg partition-spec evolution
+    bucket(N,key)→bucket(M,key), materialized eagerly as one rewrite): events
+    ≤ 6000 replay through the engine into an 8-bucket table, rebucket(32)
+    re-lays the table out atomically (tombstones kept — their versions still
+    fence the resumed replay), and the > 6000 tail lands under the NEW
+    layout. Final state must equal the plain full-history LWW fold: a wrong
+    bucket function after the rewrite (rows placed or probed in the wrong
+    bucket), a tombstone lost in the re-layout (deleted key resurrecting),
+    or a watermark lost across the rebucket commit all value-hash-mismatch
+    against the DuckDB oracle."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    ev = _events(spark, sf_dir)
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+    root = tempfile.mkdtemp(prefix="rebucket-")
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=8)
+    CdcEngine(spark, table, job_id="rb", extract=False, merge_mode="delta").run(
+        changelog.filter(F.col("log_offset") <= 6000)
+    )
+    res = table.rebucket(32)
+    assert SnapshotTable(spark, f"{root}/pages").n_buckets == 32, res
+    CdcEngine(
+        spark,
+        SnapshotTable(spark, f"{root}/pages"),
+        job_id="rb",
+        extract=False,
+        merge_mode="delta",
+        reset_policy="earliest",
+    ).run(changelog.filter(F.col("log_offset") > 6000))
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
     scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
@@ -1436,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_concurrent_writers": q_cdc_concurrent_writers,
         "cdc_purge_delta": q_cdc_purge_delta,
         "cdc_schema_rename": q_cdc_schema_rename,
+        "cdc_rebucket": q_cdc_rebucket,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
@@ -1875,6 +1938,8 @@ def oracle_sql() -> dict[str, str]:
         # two racing delta writers, B rebased ≡ LWW over all events (the
         # rebase is commutative metadata: either commit order reads equal)
         "cdc_concurrent_writers": snapshot,
+        # rebucket(8→32) mid-ingest is a pure re-layout ≡ plain LWW fold
+        "cdc_rebucket": snapshot,
         # rename value→score + drop html mid-ingest ≡ plain LWW fold with
         # value aliased (old-era bytes must surface under the new name)
         "cdc_schema_rename": f"""

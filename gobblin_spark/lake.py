@@ -284,10 +284,12 @@ class SnapshotTable:
         m = self.manifest()
         return T.StructType.fromJson(m["schemas"][str(m["current_schema_id"])])
 
-    def bucket_expr(self, col: str | None = None):
+    def bucket_expr(self, col: str | None = None, n: int | None = None):
         """Deterministic layout bucket of the merge key (xxhash64, the same
         function Spark uses executor-side — no driver involvement)."""
-        return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(
+            F.xxhash64(F.col(col or self.key)), F.lit(int(n or self.n_buckets))
+        ).cast("int")
 
     def bucket_of(self, value: str) -> int:
         """Layout bucket of one key value, computed DRIVER-SIDE (pure-Python
@@ -922,8 +924,12 @@ class SnapshotTable:
         m = self.manifest() if at_version is None else self.manifest_at(at_version)
         probe = None
         if key_equals is not None:
+            from .xxh64 import xxh64
+
             probe = str(key_equals)
-            kb = self.bucket_of(probe)
+            # resolve against THIS manifest's bucket count — a time-travel
+            # read across a rebucket() must probe the era's own layout
+            kb = xxh64(probe.encode("utf-8")) % int(m["n_buckets"])
             buckets = [kb] if buckets is None else [b for b in buckets if b == kb]
         schemas = m["schemas"]
 
@@ -1163,6 +1169,7 @@ class SnapshotTable:
         data_rel: str,
         file_schema: T.StructType,
         properties: dict | None,
+        expect_n_buckets: int,
     ) -> tuple[int, bool]:
         """Optimistic-concurrency retry for a delta MERGE whose first commit
         hit a concurrent head move (Iceberg SnapshotProducer's commit loop,
@@ -1180,6 +1187,11 @@ class SnapshotTable:
         for _ in range(5):
             self._manifest = None
             m = self.manifest()
+            if int(m["n_buckets"]) != int(expect_n_buckets):
+                # a concurrent rebucket() changed the layout: this batch's
+                # files are bucketed under the OLD count — appending them by
+                # bucket number would place rows in the wrong buckets
+                raise CommitConflictError(self.ref, None, m["version"])
             schema_now = self.schema()
             if merge_schemas(schema_now, file_schema) != file_schema:
                 # the new head evolved past what this batch's files hold:
@@ -1383,7 +1395,7 @@ class SnapshotTable:
                 )
             except CommitConflictError:
                 new_version, schema_changed = self._rebase_delta(
-                    file_counts, data_rel, new_schema, properties
+                    file_counts, data_rel, new_schema, properties, m["n_buckets"]
                 )
                 folded, rebased = [], True
             return {
@@ -1486,17 +1498,25 @@ class SnapshotTable:
         }
 
     # --------------------------------------------------------- maintenance
-    def compact(self, drop_tombstones: bool = True, properties: dict | None = None) -> dict:
+    def compact(
+        self,
+        drop_tombstones: bool = True,
+        properties: dict | None = None,
+        n_buckets: int | None = None,
+    ) -> dict:
         """Rewrite all live buckets into one snapshot dir (≈ Gobblin compaction
         / Iceberg rewrite_data_files): merges small files, optionally expires
-        tombstones (safe once all replayable ranges are fenced by watermarks)."""
+        tombstones (safe once all replayable ranges are fenced by watermarks).
+        ``n_buckets`` relays out the table into a different bucket count in
+        the same rewrite (see ``rebucket``)."""
         m = self.manifest()
-        df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr())
+        nb = int(n_buckets or m["n_buckets"])
+        df = self.read(include_hidden=True).withColumn("_bucket", self.bucket_expr(n=nb))
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = self._next_version(m["version"] + 1)
         data_rel = self._alloc_data_rel(new_version)
-        df = self._clustered(df, m)
+        df = self._clustered(df, m, n_parts=nb)
         self._writer(df, m).partitionBy("_bucket").parquet(os.path.join(self.root, data_rel))
         file_counts = _bucket_file_counts(os.path.join(self.root, data_rel))
         # Iceberg-style data-file column stats: per-file [min,max] of the
@@ -1508,6 +1528,7 @@ class SnapshotTable:
             **m,
             "version": new_version,
             "parent": m["version"],
+            "n_buckets": nb,
             "buckets": {
                 str(b): {
                     "data": data_rel,
@@ -1525,6 +1546,26 @@ class SnapshotTable:
         }
         self._commit(manifest)
         return {"version": new_version, "buckets": len(file_counts)}
+
+    def rebucket(self, n_buckets: int, properties: dict | None = None) -> dict:
+        """Change the table's hash-bucket count in one atomic rewrite
+        (≈ Iceberg partition-spec evolution bucket(N,key)→bucket(M,key),
+        materialized eagerly). A table sized for 10^8 rows needs more buckets
+        at 10^10 — a bucket must sort in executor memory for compaction and
+        bound each merge task. Iceberg leaves old specs in place and plans
+        per-spec; a SINGLE-spec layout instead pays one compaction-priced
+        rewrite and keeps every reader, metadata point lookup, and
+        co-partitioned single-exchange merge on ONE bucket function — the
+        invariant the whole read/merge plan shape rests on. Tombstones are
+        KEPT (their versions still fence replays); time-travel reads of
+        pre-rebucket snapshots resolve probes against the era's own layout.
+        A stale handle's in-flight delta merge bucketed under the old count
+        conflicts and ABORTS (never silently rebased into the wrong layout)."""
+        if int(n_buckets) < 1:
+            raise ValueError(f"rebucket: n_buckets must be >= 1, got {n_buckets}")
+        return self.compact(
+            drop_tombstones=False, properties=properties, n_buckets=int(n_buckets)
+        )
 
     def delete_where(
         self,
