@@ -83,7 +83,37 @@ _SNAPSHOT_COLS = [
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Normalize ts to TIMESTAMP_NTZ regardless of the session's parquet
+    # inference config (spark.sql.parquet.inferTimestampNTZ.enabled): the
+    # driver's vanilla session reads the isAdjustedToUTC=false parquet column
+    # as NTZ while a session with the flag off reads it as TIMESTAMP — the
+    # r4 correctness gate failed on exactly this drift (unix_micros over
+    # NTZ). NTZ is the wall-clock-stable choice: every wall-clock function
+    # (date_format, windowing) and the _ts_us/_ts_ms epoch helpers below are
+    # then timezone-independent and agree with the DuckDB oracle's naive-
+    # timestamp semantics byte-for-byte.
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _epoch_ntz() -> "F.Column":
+    # Built lazily: F.lit() needs an active SparkContext, and this module is
+    # importable without one (oracle_sql() runs under plain DuckDB).
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def _ts_us(col) -> "F.Column":
+    """Epoch micros of a naive (NTZ) timestamp, timezone-independent —
+    identical to DuckDB's epoch_us(ts) on the same naive value. unix_micros
+    is NOT used because it rejects NTZ inputs and its result on TIMESTAMP
+    depends on the session timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), c.cast("timestamp_ntz"))
+
+
+def _ts_ms(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MILLISECOND", _epoch_ntz(), c.cast("timestamp_ntz"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +213,72 @@ def q_cdc_patch_merge(spark, sf_dir):
     )
     return patch_merge(
         ev, ["user_id"], ["ts", "event_id"], ["v_num", "v_props"], F.col("_del")
+    )
+
+
+def q_cdc_engine_patch_replay(spark, sf_dir):
+    """END-TO-END partial-image ingest through the REAL engine
+    (``CdcEngine(fold="patch", patch_cols=...)``, r4 verdict next #5): a
+    binlog-row-image=minimal changelog (event_id mod 3/5 ⇒ column absent
+    from that event's image, 'error' events play tombstones) replays in
+    THREE fenced delta-merge batches — so the per-column
+    last-non-null-after-tombstone fold is exercised ACROSS commit
+    boundaries, where a naive full-row LWW would null out every column a
+    later batch's image did not carry. Versions are monotone per key
+    (warc_ts := epoch + event_id seconds — the binlog contract the fold
+    documents), so the DuckDB oracle recomputes the final state from the
+    FULL history with an independent algorithm (window-max tombstone cursor
+    + ordered/filtered last() per column) with no knowledge of the batch
+    split: any column leaked/lost across a batch boundary, a tombstone that
+    failed to reset, or a watermark/fence error value-hash-mismatches."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    epoch = F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")
+    # offsets must be DENSE per log partition (the planner's batch slicing
+    # equates event count with offset delta — a global event_id as offset
+    # inflates every partition's backlog 8× and shreds the run into 8× more
+    # commits); row_number over (partition, event_id) is deterministic and
+    # keeps a key's versions monotone in its offsets (the fold's contract)
+    w = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(8))).orderBy("event_id")
+    changelog = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.timestamp_add("SECOND", F.col("event_id").cast("int"), epoch).alias(
+            "warc_ts"
+        ),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v_num"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("v_props"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("log_offset"),
+    )
+    meta = {"op", "log_partition", "log_offset"}
+    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+    root = tempfile.mkdtemp(prefix="engine-patch-")
+    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
+    n = changelog.count()
+    CdcEngine(
+        spark,
+        table,
+        job_id="patch-replay",
+        extract=False,
+        fold="patch",
+        patch_cols=["v_num", "v_props"],
+        merge_mode="delta",
+    ).run(changelog, max_events_per_batch=n // 3 + 1)
+    final = SnapshotTable(spark, f"{root}/pages").read()
+    return final.select(
+        "url",
+        F.col("warc_ts").alias("last_ts"),
+        "v_num",
+        "v_props",
     )
 
 
@@ -860,7 +956,7 @@ def q_cdc_kafka_wire_decode(spark, sf_dir):
             F.struct(
                 F.col("user_id"),
                 F.col("event_type"),
-                F.unix_micros(F.col("ts")).alias("ts_us"),
+                _ts_us("ts").alias("ts_us"),
                 F.col("value"),
                 F.col("props"),
                 F.base64(
@@ -914,12 +1010,12 @@ def q_cdc_debezium_decode(spark, sf_dir):
     ev = _events(spark, sf_dir).filter(F.col("event_id") <= 4000)
     src = ev.select(
         F.concat(F.lit("http://site/"), F.col("user_id").cast("string")).alias("url"),
-        F.unix_micros(F.col("ts")).alias("warc_ts"),
+        _ts_us("ts").alias("warc_ts"),
         F.col("event_type").alias("lang"),
         F.expr(
             "element_at(array('c','u','d','r'), cast(event_id % 4 as int) + 1)"
         ).alias("op"),
-        F.unix_millis(F.col("ts")).alias("_ts_ms"),
+        _ts_ms("ts").alias("_ts_ms"),
         F.format_string("binlog.%06d", F.expr("event_id div 1000")).alias(
             "_binlog_file"
         ),
@@ -1475,7 +1571,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (r4 verdict next #2): the driver's correctness run
+    # walks this dict in order and has a finite budget — round 4 stopped at
+    # 50/63, leaving the tail driver-unverified. Queries with the thinnest
+    # driver evidence run FIRST (never-driver-verified codecs, then the
+    # ANN/multimodal family last reached in r3, then the two rows that
+    # FAILED in r4), and the most expensive fixture/dedup queries run LAST
+    # (every one of them was driver-green in r4).
     return {
+        # -- never driver-verified (added r4, run stopped before them) --
+        "multimodal_gif_frames": q_multimodal_gif_frames,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_video_mjpeg": q_multimodal_video_mjpeg,
+        # -- last driver-green in r3; not reached by the r4 run --
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+        "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "multimodal_binary_stats": q_multimodal_binary_stats,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
+        # -- FAILED in r4 (NTZ drift, fixed + vanilla-session-tested) --
+        "cdc_kafka_wire_decode": q_cdc_kafka_wire_decode,
+        "cdc_debezium_decode": q_cdc_debezium_decode,
+        # -- new in r5 --
+        "cdc_engine_patch_replay": q_cdc_engine_patch_replay,
+        # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_lww_salted": q_cdc_lww_salted,
@@ -1488,19 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compaction_stats": q_cdc_compaction_stats,
         "cdc_retention_filter": q_cdc_retention_filter,
         "cdc_completeness_gate": q_cdc_completeness_gate,
-        "cdc_changes_between": q_cdc_changes_between,
-        "cdc_changes_per_commit": q_cdc_changes_per_commit,
-        "cdc_kafka_wire_decode": q_cdc_kafka_wire_decode,
-        "cdc_debezium_decode": q_cdc_debezium_decode,
         "cdc_ack_prefix": q_cdc_ack_prefix,
         "writer_time_partitioning": q_writer_time_partitioning,
-        "cdc_engine_replay": q_cdc_engine_replay,
-        "cdc_concurrent_writers": q_cdc_concurrent_writers,
-        "cdc_purge_delta": q_cdc_purge_delta,
-        "cdc_schema_rename": q_cdc_schema_rename,
-        "cdc_rebucket": q_cdc_rebucket,
-        "cdc_point_lookup": q_cdc_point_lookup,
-        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_size_estimator": q_cdc_size_estimator,
         "conv_json_decode": q_conv_json_decode,
         "conv_url_canonical": q_conv_url_canonical,
@@ -1516,29 +1629,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_winnow": q_docs_winnow,
         "docs_contamination": q_docs_contamination,
-        "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_dedup_survivors": q_docs_dedup_survivors,
         "docs_chunk_dedup": q_docs_chunk_dedup,
         "docs_incremental_dedup": q_docs_incremental_dedup,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_pack_shards": q_docs_pack_shards,
-        "docs_minhash_neardup": q_docs_minhash_neardup,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_neardup": q_emb_neardup,
-        "emb_neardup_lsh": q_emb_neardup_lsh,
-        "emb_lsh_recall": q_emb_lsh_recall,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "multimodal_binary_stats": q_multimodal_binary_stats,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_gif_frames": q_multimodal_gif_frames,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "multimodal_video_mjpeg": q_multimodal_video_mjpeg,
-        "multimodal_audio_stats": q_multimodal_audio_stats,
+        # -- driver-green in r4, expensive (multi-commit lake fixtures and
+        #    heavy dedup pipelines) --
+        "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_concurrent_writers": q_cdc_concurrent_writers,
+        "cdc_changes_between": q_cdc_changes_between,
+        "cdc_changes_per_commit": q_cdc_changes_per_commit,
+        "cdc_purge_delta": q_cdc_purge_delta,
+        "cdc_schema_rename": q_cdc_schema_rename,
+        "cdc_rebucket": q_cdc_rebucket,
+        "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_wap_publish": q_cdc_wap_publish,
+        "docs_minhash_neardup": q_docs_minhash_neardup,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_survivors": q_docs_dedup_survivors,
     }
 
 
@@ -1672,19 +1783,25 @@ SELECT query_id, neighbor_id, rank FROM (
 # --------------------------------------------- similarity oracle generators
 
 
-def _duck_bucket_expr(vexpr: str, planes: list[list[int]]) -> str:
+_DUCK_QUANT = "list_transform({v}, x -> CAST(floor(x * 1048576.0) AS BIGINT))"
+
+
+def _duck_bucket_expr(qexpr: str, planes: list[list[int]]) -> str:
     """DuckDB replication of similarity._bucket_expr: integer-quantized
-    hyperplane sign bits packed into one int. floor(v·2²⁰) is exact in IEEE
-    double (power-of-two scale) and the projection is an integer sum, so the
-    bucket is bit-identical to Spark's."""
+    hyperplane sign bits packed into one int. ``qexpr`` is a pre-quantized
+    BIGINT list (floor(v·2²⁰), exact in IEEE double; build it once per row
+    with _DUCK_QUANT). Coefficients are ±1 (similarity.hyperplanes), so each
+    projection is a flat signed sum of list elements — the earlier
+    lambda-with-list-indexing form re-built the 64-element coefficient list
+    per element and cost ~70 ms/row, which alone starved the r4 driver
+    correctness run."""
     terms = []
     for i, coeffs in enumerate(planes):
-        arr = "[" + ", ".join(str(c) for c in coeffs) + "]"
-        terms.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, {len(coeffs) + 1}), i -> "
-            f"CAST(floor({vexpr}[CAST(i AS INT)] * 1048576.0) AS BIGINT)"
-            f" * ({arr})[CAST(i AS INT)])) > 0 THEN {1 << i} ELSE 0 END)"
+        proj = "".join(
+            ("+" if c > 0 else "-") + f"{qexpr}[{j + 1}]"
+            for j, c in enumerate(coeffs)
         )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -1773,9 +1890,11 @@ SELECT query_id, neighbor_id, rank FROM (
 def _lsh_topk_sql(k: int = 5, nbits: int = 8, dim: int = 64, seed: int = 42) -> str:
     from gobblin_spark.operators.similarity import hyperplanes
 
-    bucket = _duck_bucket_expr("v", hyperplanes(dim, nbits, seed))
+    bucket = _duck_bucket_expr("q", hyperplanes(dim, nbits, seed))
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_DUCK_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS q
+           FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {bucket} AS bucket FROM e),
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1802,20 +1921,41 @@ def _lsh_neardup_sql(
 
     planes = hyperplanes(dim, n_tables * nbits, seed)
     buckets = ",\n       ".join(
-        f"{_duck_bucket_expr('v', planes[t * nbits:(t + 1) * nbits])} AS b{t}"
+        f"{_duck_bucket_expr('q', planes[t * nbits:(t + 1) * nbits])} AS b{t}"
         for t in range(n_tables)
     )
-    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    # Long-form (vec_id, table, bucket) + equi-join — the same banded-hash-
+    # join shape as the Spark operator. The previous formulation joined on
+    # an OR across n_tables bucket equalities, which DuckDB executes as an
+    # all-pairs nested loop re-evaluating the (768-term) inlined bucket
+    # expressions per comparison — 74 s at sf0.01 and the reason the r4
+    # driver correctness run never reached the last 13 queries.
+    bcols = ", ".join(f"b{t}" for t in range(n_tables))
     return f"""
 WITH corpus AS (SELECT vec_id, embedding FROM {source}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
-s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_DUCK_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS q
+      FROM corpus),
+s AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        {buckets}
       FROM e),
+long AS MATERIALIZED (
+  SELECT vec_id, t, bucket
+  FROM (SELECT vec_id, {bcols} FROM s)
+  UNPIVOT (bucket FOR t IN ({bcols}))
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM long a JOIN long b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
 scored AS (
-  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
-         round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 4) AS sim
-  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({any_shared})
+  SELECT c.a_id, c.b_id,
+         round(list_dot_product(sa.v, sb.v)/(sa.nrm*sb.nrm), 4) AS sim
+  FROM cand c
+  JOIN s sa ON sa.vec_id = c.a_id
+  JOIN s sb ON sb.vec_id = c.b_id
 )
 SELECT a_id, b_id, sim FROM scored WHERE sim >= {t_x10k}/10000.0
 """
@@ -1831,26 +1971,45 @@ def _lsh_recall_sql(
 
     planes = hyperplanes(dim, n_tables * nbits, seed)
     buckets = ",\n       ".join(
-        f"{_duck_bucket_expr('v', planes[t * nbits:(t + 1) * nbits])} AS b{t}"
+        f"{_duck_bucket_expr('q', planes[t * nbits:(t + 1) * nbits])} AS b{t}"
         for t in range(n_tables)
     )
-    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    # Same long-form banded hash join as _lsh_neardup_sql (see note there):
+    # the OR-join formulation nested-looped with inlined bucket expressions
+    # and cost 59 s at sf0.01.
+    bcols = ", ".join(f"b{t}" for t in range(n_tables))
     return f"""
 WITH corpus AS (SELECT vec_id, embedding FROM {_planted_emb_sql(400)}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-exact AS (
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_DUCK_QUANT.format(v="CAST(embedding AS DOUBLE[])")} AS q
+      FROM corpus),
+n AS MATERIALIZED (
+  SELECT vec_id, v, q, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+exact AS MATERIALIZED (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM n a JOIN n b ON a.vec_id < b.vec_id
   WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 4) >= {t_x10k}/10000.0
 ),
-s AS (SELECT vec_id, v, nrm,
+s AS MATERIALIZED (
+      SELECT vec_id, v, nrm,
        {buckets}
       FROM n),
-lsh AS (
+long AS MATERIALIZED (
+  SELECT vec_id, t, bucket
+  FROM (SELECT vec_id, {bcols} FROM s)
+  UNPIVOT (bucket FOR t IN ({bcols}))
+),
+cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({any_shared})
-  WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 4) >= {t_x10k}/10000.0
+  FROM long a JOIN long b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+lsh AS MATERIALIZED (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN s sa ON sa.vec_id = c.a_id
+  JOIN s sb ON sb.vec_id = c.b_id
+  WHERE round(list_dot_product(sa.v, sb.v)/(sa.nrm*sb.nrm), 4) >= {t_x10k}/10000.0
 ),
 c AS (SELECT count(*) AS n_common FROM exact JOIN lsh USING (a_id, b_id))
 SELECT (SELECT count(*) FROM exact) AS n_exact,
@@ -1933,6 +2092,35 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts,
                    last(event_id ORDER BY ts, event_id) AS last_event_id
             FROM live GROUP BY user_id
+        """,
+        # full-history per-column patch fold, blind to the engine's 3-batch
+        # split (versions are monotone per key, so ordering by event_id is
+        # the (warc_ts, log_offset) order)
+        "cdc_engine_patch_replay": f"""
+            WITH e AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                     TIMESTAMP '2020-01-01 00:00:00'
+                       + to_seconds(event_id) AS wts,
+                     event_id,
+                     (event_type = '{DELETE_TYPE}') AS is_del,
+                     CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v_num,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS v_props
+              FROM events
+            ), cur AS (
+              SELECT *, max(CASE WHEN is_del THEN event_id END)
+                          OVER (PARTITION BY url) AS d
+              FROM e
+            ), live AS (
+              SELECT * FROM cur
+              WHERE NOT is_del AND (d IS NULL OR event_id > d)
+            )
+            SELECT url,
+                   max(wts) AS last_ts,
+                   last(v_num ORDER BY event_id)
+                     FILTER (WHERE v_num IS NOT NULL) AS v_num,
+                   last(v_props ORDER BY event_id)
+                     FILTER (WHERE v_props IS NOT NULL) AS v_props
+            FROM live GROUP BY url
         """,
         "cdc_engine_replay": snapshot,  # full engine replay ≡ LWW + delete
         # two racing delta writers, B rebased ≡ LWW over all events (the

@@ -102,6 +102,8 @@ class CdcEngine:
         merge_mode: str = "rewrite",
         stats: StatsTracker | None = None,
         lww_strategy: str = "repartition",
+        fold: str = "lww",
+        patch_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -134,6 +136,26 @@ class CdcEngine:
         if lww_strategy not in ("combine", "repartition"):
             raise ValueError(f"unknown lww_strategy: {lww_strategy}")
         self.lww_strategy = lww_strategy
+        # fold="patch": partial-image changelogs (MySQL binlog-row-image=
+        # minimal, Debezium ExtractNewRecordState null-for-unchanged — the
+        # reference's pluggable delta-field comparator slot,
+        # AvroKeyDedupReducer.java:82-93). Each batch folds to per-column
+        # last-non-null-after-tombstone candidates (operators/patch.py, one
+        # skew-safe struct-max aggregate), joins ONCE against the current
+        # visible state of the affected buckets, and emits FULL rows — which
+        # then ride the exact same fenced MERGE / watermark / commit path as
+        # fold="lww". CONTRACT: a key's versions must be monotone in its log
+        # offsets (true of binlog/WAL feeds — the log position IS the
+        # version). Under that contract the result is independent of the
+        # batch split; violating it can lose an out-of-order patch that a
+        # full-history fold would keep, because applied batches store only
+        # final column values, not per-column versions.
+        if fold not in ("lww", "patch"):
+            raise ValueError(f"unknown fold: {fold}")
+        if fold == "patch" and not patch_cols:
+            raise ValueError("fold='patch' requires patch_cols")
+        self.fold = fold
+        self.patch_cols = list(patch_cols or [])
 
     # ------------------------------------------------------------ watermarks
     def committed_watermarks(self) -> dict[int, int]:
@@ -253,6 +275,99 @@ class CdcEngine:
             extra_props={"pending_ranges": new_pending},
         )
 
+    def _touched_buckets(self, batch: DataFrame, ranges: list[OffsetRange]) -> list[int]:
+        """Buckets this batch touches, from the raw scan (column-pruned, url
+        only). Large batches touch every bucket with near-certainty (coupon
+        collector) — skip the discovery job."""
+        n_buckets = self.table.n_buckets
+        if sum(r.count for r in ranges) >= 64 * n_buckets:
+            return list(range(n_buckets))
+        return sorted(
+            r["_b"]
+            for r in batch.select(
+                self.table.bucket_expr("url").alias("_b")
+            ).distinct().collect()
+        )
+
+    def _patch_updates(self, valid: DataFrame, buckets: list[int]) -> DataFrame:
+        """fold="patch" batch body: fold partial images to per-column
+        last-non-null-after-tombstone candidates (ONE skew-safe struct-max
+        aggregate riding the same single bucket exchange as the LWW path),
+        left-join the current VISIBLE state of the touched buckets (the prior
+        image partial updates must be completed against), and emit full rows
+        for the standard fenced MERGE:
+
+          col value = batch candidate        if it sorts after the batch's
+                                             last tombstone for the key
+                      NULL                   if a tombstone reset the key and
+                                             the col was not re-written
+                      current table value    otherwise (key not tombstoned
+                                             in this batch)
+          row version = version of the last event absorbed (live or
+                      tombstone) — under the per-key monotone-version
+                      contract this strictly exceeds the stored row version
+                      whenever the batch carries new events, so the MERGE's
+                      strictly-newer guard passes exactly once and an exact
+                      replay is a no-op.
+
+        Deletes surface as ``_deleted`` tombstone rows, same as fold="lww".
+        Unlike the LWW delta path, patch delta commits must READ the touched
+        buckets — a partial image is meaningless without the prior image;
+        that read is the irreducible cost of binlog-row-image=minimal."""
+        from .operators.patch import patch_fold_state
+
+        tbl = self.table
+        bucketed = valid.withColumn("_bucket", tbl.bucket_expr("url")).repartition(
+            tbl.n_buckets, F.col("_bucket")
+        )
+        folded = patch_fold_state(
+            bucketed,
+            ["_bucket", "url"],
+            ["warc_ts", "log_offset"],
+            self.patch_cols,
+            F.col("op") == F.lit("D"),
+        )
+
+        cur = tbl.read(buckets=buckets)
+        old_cols = [c for c in self.patch_cols if c in cur.columns]
+        cur = (
+            cur.select("url", *old_cols)
+            .withColumn("_bucket", tbl.bucket_expr("url"))
+            .repartition(tbl.n_buckets, F.col("_bucket"))
+            .select("_bucket", "url", *[F.col(c).alias(f"_old_{c}") for c in old_cols])
+        )
+        j = folded.join(cur, ["_bucket", "url"], "left")
+
+        after_del = lambda v: F.col("_d").isNull() | (v > F.col("_d"))  # noqa: E731
+        alive = F.col("_l").isNotNull() & after_del(F.col("_l"))
+        # greatest over the (live, tombstone) version structs = the last
+        # event absorbed by this row state (Spark's greatest skips NULLs)
+        vfin = F.greatest(F.col("_l"), F.col("_d"))
+        cols = []
+        for c in self.patch_cols:
+            cand = F.col(f"_c_{c}")
+            old = F.col(f"_old_{c}") if c in old_cols else F.lit(None)
+            cols.append(
+                F.when(cand.isNotNull() & after_del(cand["v"]), cand["x"])
+                .otherwise(F.when(F.col("_d").isNull(), old))
+                .alias(c)
+            )
+        out = j.select(
+            "url",
+            vfin["warc_ts"].alias("warc_ts"),
+            *cols,
+            vfin["warc_ts"].alias("_version_ts"),
+            vfin["log_offset"].alias("_version_off"),
+            (~alive).alias("_deleted"),
+            F.col("_bucket"),
+        )
+        if self.extract and "html" in self.patch_cols:
+            out = out.withColumn(
+                "text",
+                F.when(~F.col("_deleted"), extract_text_udf(F.col("html"))),
+            )
+        return out
+
     def _apply(
         self,
         batch: DataFrame,
@@ -281,8 +396,11 @@ class CdcEngine:
             F.col("url").isNotNull()
             & F.col("op").isin("I", "U", "D")
             & (F.col("warc_ts").isNotNull())
-            & ((F.col("op") == "D") | F.col("html").isNotNull())
         )
+        if self.fold != "patch":
+            # partial images legitimately carry NULL payload columns
+            # (NULL = unchanged), so the non-null-html policy is LWW-only
+            ok = ok & ((F.col("op") == "D") | F.col("html").isNotNull())
         n_errors = 0
         if self.errors_path:
             batch = batch.persist()
@@ -306,53 +424,51 @@ class CdcEngine:
         # factor d the shuffle carries n/d deduped rows twice (agg exchange
         # + bucket repartition) instead of n raw rows once. Extraction stays
         # AFTER the final exchange either way — text never rides a shuffle.
-        if self.lww_strategy == "combine":
-            with_bucket = valid.withColumn("_bucket", self.table.bucket_expr("url"))
-            latest = lww_latest(with_bucket, ["_bucket", "url"], ["warc_ts", "log_offset"])
-            latest = latest.repartition(self.table.n_buckets, F.col("_bucket"))
+        if self.fold == "patch":
+            touched = self._touched_buckets(batch, ranges)
+            updates = self._patch_updates(valid, touched)
+            affected = None if self.merge_mode == "delta" else touched
         else:
-            bucketed = valid.withColumn(
-                "_bucket", self.table.bucket_expr("url")
-            ).repartition(self.table.n_buckets, F.col("_bucket"))
-            latest = lww_latest(bucketed, ["_bucket", "url"], ["warc_ts", "log_offset"])
+            if self.lww_strategy == "combine":
+                with_bucket = valid.withColumn("_bucket", self.table.bucket_expr("url"))
+                latest = lww_latest(with_bucket, ["_bucket", "url"], ["warc_ts", "log_offset"])
+                latest = latest.repartition(self.table.n_buckets, F.col("_bucket"))
+            else:
+                bucketed = valid.withColumn(
+                    "_bucket", self.table.bucket_expr("url")
+                ).repartition(self.table.n_buckets, F.col("_bucket"))
+                latest = lww_latest(bucketed, ["_bucket", "url"], ["warc_ts", "log_offset"])
 
-        # converter slot: vectorized text extraction — AFTER dedup, so the
-        # Arrow/pandas UDF runs once per surviving key (duplicates, lost race
-        # versions and deletes never reach Python) and the extracted text
-        # never rides the shuffle
-        if self.extract:
-            latest = latest.withColumn(
-                "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+            # converter slot: vectorized text extraction — AFTER dedup, so the
+            # Arrow/pandas UDF runs once per surviving key (duplicates, lost
+            # race versions and deletes never reach Python) and the extracted
+            # text never rides the shuffle
+            if self.extract:
+                latest = latest.withColumn(
+                    "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+                )
+            visible = [c for c in latest.columns if c not in _META_COLS and c != "_bucket"]
+            updates = latest.select(
+                *visible,
+                F.col("warc_ts").alias("_version_ts"),
+                F.col("log_offset").alias("_version_off"),
+                (F.col("op") == F.lit("D")).alias("_deleted"),
+                F.col("_bucket"),
             )
-        visible = [c for c in latest.columns if c not in _META_COLS and c != "_bucket"]
-        updates = latest.select(
-            *visible,
-            F.col("warc_ts").alias("_version_ts"),
-            F.col("log_offset").alias("_version_off"),
-            (F.col("op") == F.lit("D")).alias("_deleted"),
-            F.col("_bucket"),
-        )
+
+            # affected-bucket discovery from the raw batch scan: column-pruned
+            # (url only) and shuffle-free, vs deriving it from `updates` which
+            # would re-run the LWW shuffle a second time per batch. When the
+            # batch is far larger than the bucket count, every bucket is
+            # touched with near-certainty (coupon collector) — skip the
+            # discovery job entirely. Delta commits never read the target, so
+            # they skip discovery too.
+            if self.merge_mode == "delta":
+                affected = None
+            else:
+                affected = self._touched_buckets(batch, ranges)
         if use_observe:
             updates, upd_obs = observe_updates(updates, f"upd-{batch_id}")
-
-        # affected-bucket discovery from the raw batch scan: column-pruned
-        # (url only) and shuffle-free, vs deriving it from `updates` which
-        # would re-run the LWW shuffle a second time per batch. When the batch
-        # is far larger than the bucket count, every bucket is touched with
-        # near-certainty (coupon collector) — skip the discovery job entirely.
-        # Delta commits never read the target, so they skip discovery too.
-        n_buckets = self.table.n_buckets
-        if self.merge_mode == "delta":
-            affected = None
-        elif sum(r.count for r in ranges) >= 64 * n_buckets:
-            affected = list(range(n_buckets))
-        else:
-            affected = [
-                r["_b"]
-                for r in batch.select(
-                    self.table.bucket_expr("url").alias("_b")
-                ).distinct().collect()
-            ]
 
         # merged watermarks: advance applied ranges, carry everything else;
         # wm_caps (offset-gap guard) holds a partition's committed watermark

@@ -355,6 +355,20 @@ class SnapshotTable:
             raise ValueError(f"cannot alter protected columns: {sorted(touched & protected)}")
         if set(renames) & set(drops):
             raise ValueError("a column cannot be both renamed and dropped")
+        overlap = set(renames) & set(renames.values())
+        if overlap:
+            # swap ({a:b, b:a}) and chain ({a:b, b:c}) rename sets pass the
+            # surviving-set collision check below, but the read path replays
+            # each era's rename map via withColumnsRenamed, which applies
+            # entries as one simultaneous substitution ONLY for disjoint
+            # sets — an overlapping set committed here would produce
+            # duplicate columns and brick every read of pre-rename data
+            # (durable manifest metadata). Issue the steps as separate
+            # alter_schema calls instead; each commits its own transition.
+            raise ValueError(
+                "alter_schema: rename sources and targets overlap "
+                f"({sorted(overlap)}); issue sequential alter_schema calls"
+            )
         last: CommitConflictError | None = None
         for attempt in range(5):
             if attempt:
@@ -527,8 +541,40 @@ class SnapshotTable:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
-                        os.unlink(lock)  # crashed committer; reclaim
+                    stale = time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S
+                    if stale:
+                        # Reclaim by ATOMIC RENAME + content verify, never
+                        # unlink-in-place: with unlink, two waiters can both
+                        # judge the lock stale, the holder (or first waiter)
+                        # releases/reacquires between one waiter's stat and
+                        # its unlink, and that waiter then unlinks a FRESH
+                        # lock — two committers in the critical section, one
+                        # commit silently lost. The rename moves exactly one
+                        # file to a name only this waiter knows; reading it
+                        # back proves whether it was the stale lock that was
+                        # stat'ed (reclaim succeeded) or a fresh one that
+                        # raced in (restore it via no-clobber os.link).
+                        with open(lock) as f:
+                            seen = f.read()
+                        if time.time() - os.stat(lock).st_mtime <= self.LOCK_STALE_S:
+                            continue  # refreshed while we read; not stale
+                        claim = f"{lock}.reclaim-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+                        os.rename(lock, claim)
+                        with open(claim) as f:
+                            got = f.read()
+                        if got == seen:
+                            os.unlink(claim)  # confirmed-stale lock reclaimed
+                        else:
+                            # a fresh lock raced into the name; put it back
+                            # without clobbering anything newer
+                            try:
+                                os.link(claim, lock)
+                            except FileExistsError:
+                                pass  # another waiter already locked; holder
+                                # of `got` lost its file — same exposure as a
+                                # stale-judged crash, bounded by two sub-ms
+                                # races compounding
+                            os.unlink(claim)
                         continue
                 except FileNotFoundError:
                     continue  # released between open and stat; retry now
@@ -552,11 +598,26 @@ class SnapshotTable:
         created that dir (both picked the same next version before either
         committed), a unique suffix keeps their parquet writes disjoint —
         manifests reference data dirs by recorded name, so readers never
-        reconstruct the path from the version number."""
+        reconstruct the path from the version number.
+
+        The dir is CLAIMED with an atomic os.mkdir, not an exists() probe:
+        two racing writers that both probed before either created would both
+        pick ``data/v{N}``, and because the parquet writer runs with
+        mode("overwrite"), the second write would delete the first writer's
+        files while the first writer's commit (which can still win the commit
+        lock) references the clobbered dir — silent corruption in exactly the
+        contended-writer scenario the optimistic-concurrency path supports."""
         rel = f"data/v{version:06d}{tag}"
-        if os.path.exists(os.path.join(self.root, rel)):
-            rel = f"{rel}-w{uuid.uuid4().hex[:8]}"
-        return rel
+        for _ in range(8):
+            try:
+                os.mkdir(os.path.join(self.root, rel))
+                return rel
+            except FileExistsError:
+                rel = f"data/v{version:06d}{tag}-w{uuid.uuid4().hex[:8]}"
+            except FileNotFoundError:
+                # first commit of a fresh table: data/ itself doesn't exist
+                os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        raise RuntimeError(f"could not claim a data dir for v{version}")
 
     def _commit(self, manifest: dict) -> None:
         with self._commit_lock():
@@ -822,22 +883,30 @@ class SnapshotTable:
         swap, O(1) in commits published — this is the WAP publish step."""
         self._assert_writable()
         head = int(self._read_ref(from_ref)["version"])
-        cur = self.version
-        if head == cur:
-            return head
-        if not self.is_ancestor(cur, head):
-            raise ValueError(
-                f"cannot fast-forward {self.ref!r} (v{cur}) to {from_ref!r} "
-                f"(v{head}): histories diverged"
-            )
-        meta = os.path.join(self.root, "meta")
-        if self.ref == "main":
-            fd, tmp = tempfile.mkstemp(dir=meta)
-            with os.fdopen(fd, "w") as f:
-                f.write(str(head))
-            os.replace(tmp, os.path.join(meta, "_current"))
-        else:
-            self._write_ref(self.ref, head, "branch")
+        # The swap takes the SAME commit lock as every other commit to this
+        # ref and validates ancestry against the DISK head inside it — a
+        # fast_forward that checked the cached self.version and swapped
+        # lock-free could race a concurrent commit and silently discard it
+        # (the one commit path that used to sit outside the
+        # optimistic-concurrency protocol).
+        with self._commit_lock():
+            cur = self._head_version()
+            cur = 0 if cur is None else cur
+            if head == cur:
+                return head
+            if not self.is_ancestor(cur, head):
+                raise ValueError(
+                    f"cannot fast-forward {self.ref!r} (v{cur}) to {from_ref!r} "
+                    f"(v{head}): histories diverged"
+                )
+            meta = os.path.join(self.root, "meta")
+            if self.ref == "main":
+                fd, tmp = tempfile.mkstemp(dir=meta)
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(head))
+                os.replace(tmp, os.path.join(meta, "_current"))
+            else:
+                self._write_ref(self.ref, head, "branch")
         self._manifest = None
         return head
 
@@ -1609,9 +1678,33 @@ class SnapshotTable:
             self.spark.createDataFrame([], _with_hidden(self.schema())).filter(
                 condition
             ).schema
+            if fence_ts_us is None:
+                # Default the fence to the table's max committed
+                # (_version_ts, _version_off) — row versions are EVENT time,
+                # so a wall-clock default would let rows whose event
+                # timestamps run ahead of the driver clock (skew,
+                # future-dated events) silently escape a compliance purge.
+                # One column-pruned aggregate over the head snapshot (two
+                # int64 columns); callers on a tight loop pass explicit
+                # fences and keep the commit strictly metadata-only.
+                mv = (
+                    self.read(include_hidden=True)
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.unix_micros(F.col("_version_ts")).alias("us"),
+                                F.col("_version_off").alias("off"),
+                            )
+                        ).alias("v")
+                    )
+                    .collect()[0]["v"]
+                )
+                fence_ts_us = int(mv["us"]) if mv is not None else 0
+                if fence_off is None and mv is not None:
+                    fence_off = int(mv["off"])
             entry = {
                 "pred": condition,
-                "fence_us": int(fence_ts_us if fence_ts_us is not None else time.time() * 1e6),
+                "fence_us": int(fence_ts_us),
                 "fence_off": int(fence_off if fence_off is not None else 2**62),
             }
             last: CommitConflictError | None = None

@@ -17,11 +17,17 @@ from pyspark.sql import functions as F
 def observe_batch(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
     """Attach read-side counters: rows, bytes, per-op breakdown."""
     obs = Observation(name)
+    # patch-mode changelogs need not carry an html column at all
+    bytes_read = (
+        F.coalesce(F.sum(F.octet_length("html")), F.lit(0))
+        if "html" in df.columns
+        else F.lit(0)
+    )
     df = df.observe(
         obs,
         F.count(F.lit(1)).alias("rows_read"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_read"),
-        F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_read"),
+        bytes_read.alias("bytes_read"),
         F.min("log_offset").alias("min_offset"),
         F.max("log_offset").alias("max_offset"),
     )

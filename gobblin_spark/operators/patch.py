@@ -42,6 +42,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def patch_fold_state(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    patch_cols: list[str],
+    is_delete: Column,
+) -> DataFrame:
+    """The single-pass fold state per key — the shared core of
+    ``patch_merge`` (standalone operator) and the engine's ``fold="patch"``
+    ingest mode (which must ALSO see keys whose last event is a tombstone,
+    so nothing is filtered here).
+
+    Returns one row per key: ``key_cols`` +
+    ``_d`` (version struct of the last tombstone, NULL if none),
+    ``_l`` (version struct of the last live event, NULL if none),
+    ``_c_<col>`` (struct(v, x): version + value of the col's last
+    NON-NULL patch, NULL if the col was never written in ``df``).
+    Every aggregate is a map-side-combinable conditional struct-max, so hot
+    keys emit ≤1 partial per input split before the shuffle."""
+    ver = F.struct(*[F.col(c) for c in version_cols])
+    live = ~is_delete
+
+    aggs = [
+        F.max(F.when(is_delete, ver)).alias("_d"),
+        F.max(F.when(live, ver)).alias("_l"),
+    ]
+    for c in patch_cols:
+        aggs.append(
+            F.max(
+                F.when(live & F.col(c).isNotNull(), F.struct(ver.alias("v"), F.col(c).alias("x")))
+            ).alias(f"_c_{c}")
+        )
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
 def patch_merge(
     df: DataFrame,
     key_cols: list[str],
@@ -64,20 +99,7 @@ def patch_merge(
     never re-written) + ``last_version_cols`` prefixed ``last_`` (the
     version of the last live event).
     """
-    ver = F.struct(*[F.col(c) for c in version_cols])
-    live = ~is_delete
-
-    aggs = [
-        F.max(F.when(is_delete, ver)).alias("_d"),
-        F.max(F.when(live, ver)).alias("_l"),
-    ]
-    for c in patch_cols:
-        aggs.append(
-            F.max(
-                F.when(live & F.col(c).isNotNull(), F.struct(ver.alias("v"), F.col(c).alias("x")))
-            ).alias(f"_c_{c}")
-        )
-    agg = df.groupBy(*key_cols).agg(*aggs)
+    agg = patch_fold_state(df, key_cols, version_cols, patch_cols, is_delete)
 
     after_del = lambda v: F.col("_d").isNull() | (v > F.col("_d"))  # noqa: E731
     alive = F.col("_l").isNotNull() & after_del(F.col("_l"))
