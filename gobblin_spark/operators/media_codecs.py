@@ -539,15 +539,16 @@ def encode_gif(
 
 
 # --------------------------------------------------------------------- JPEG
-# Baseline JPEG (ITU T.81 / ISO 10918-1) is Huffman coding + integer
-# quantization + an 8×8 DCT — all of it stdlib/numpy territory, no native
-# library needed (the round-3 verdict assumed JPEG was native-only; only
-# arithmetic-coded / progressive variants and video codecs genuinely are).
-# The decoder below handles what covers real-world baseline files: SOF0/SOF1,
-# multiple DQT/DHT tables, 8- and 16-bit quantizers, grayscale and YCbCr,
-# sampling factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0), byte unstuffing
-# (FF00) and DRI/RSTn restart markers. Progressive (SOF2) raises ValueError
-# and falls back to the labeled stub in multimodal.py.
+# JPEG (ITU T.81 / ISO 10918-1) is Huffman coding + integer quantization +
+# an 8×8 DCT — all of it stdlib/numpy territory, no native library needed
+# (the round-3 verdict assumed JPEG was native-only; only arithmetic-coded
+# variants and video codecs genuinely are). The decoder handles what covers
+# real-world files: baseline SOF0/SOF1 AND progressive SOF2 (spectral
+# selection, DC/AC successive approximation, EOB runs — round 5), multiple
+# DQT/DHT tables, 8- and 16-bit quantizers, grayscale and YCbCr, sampling
+# factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0), byte unstuffing (FF00) and
+# DRI/RSTn restart markers. Arithmetic coding (SOF9+) raises ValueError and
+# falls back to the labeled stub in multimodal.py.
 #
 # Exactness note (what makes the contract oracle possible): for a block that
 # is CONSTANT at value v, the level-shifted DCT has a single coefficient
@@ -676,16 +677,23 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG decode (SOF0/SOF1, Huffman, single scan). Returns
-    (width, height, h×w×3 uint8 RGB). Grayscale is replicated to RGB like the
-    PNG gray path; 3-component scans are YCbCr (BT.601 round-half-even
-    conversion). Raises ValueError on progressive/arithmetic variants."""
+    """JPEG decode — baseline (SOF0/SOF1, single interleaved scan) AND
+    progressive (SOF2: spectral selection, successive approximation, DC/AC
+    first + refinement scans, EOB runs). Returns (width, height, h×w×3
+    uint8 RGB). Grayscale is replicated to RGB like the PNG gray path;
+    3-component scans are YCbCr (BT.601 conversion). Both paths share one
+    entropy machine: every scan accumulates quantized coefficients into
+    per-component zigzag arrays (a baseline scan is the degenerate
+    Ss=0..Se=63, Ah=Al=0 interleaved case — T.81's coding models coincide
+    there), and dequantize + IDCT + upsample run once at EOI. Arithmetic
+    coding (SOF9+) and hierarchical/lossless processes still raise."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None
+    coef: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -715,30 +723,221 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 nvals = sum(bits)
                 huff[(tc, th)] = _huff_decode_table(bits, seg[off + 17 : off + 17 + nvals])
                 off += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline shapes)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             _prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows the header
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if coef is None:
+                coef = _jpeg_alloc_coef(frame)
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame[2] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            return _jpeg_decode_scan(payload, pos + ln, frame, scan, qt, huff, restart_interval)
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _jpeg_scan_into(
+                payload, pos + ln, frame, scan, coef, huff,
+                restart_interval, ss, se, a >> 4, a & 15,
+            )
+            continue  # pos already sits at the next marker
         # APPn / COM / others: skip
         pos += ln
-    raise ValueError("JPEG contains no scan")
+    if coef is None:
+        raise ValueError("JPEG contains no scan")
+    return _jpeg_finish(frame, coef, qt)
+
+
+def _jpeg_alloc_coef(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store, zigzag order, MCU-padded geometry
+    (interleaved scans code the padding blocks; non-interleaved scans touch
+    only the component-raster subgrid)."""
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+
+def _jpeg_scan_into(buf, pos, frame, scan, coef, huff, dri, ss, se, ah, al) -> int:
+    """Decode ONE scan's entropy data into ``coef`` (T.81 F.2 baseline and
+    G.2 progressive coding models, unified): DC first/refinement, AC
+    first/refinement with EOB runs, ZRL, restart markers. Returns the
+    offset of the next marker after the entropy segment."""
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    reader = _JpegBitReader(buf, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    state = {"eobrun": 0}
+    p1, m1 = 1 << al, -(1 << al)
+
+    def ac_first(zz, ta):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = max(ss, 1)  # baseline scans carry Ss=0; the AC band starts at 1
+        while k <= se:
+            rs = reader.huff(huff[(1, ta)])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1  # EOBn (baseline: r=0 ⇒ plain EOB)
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break
+            k += r
+            zz[k] = _jpeg_extend(reader.bits(s), s) << al
+            k += 1
+
+    def _correct(zz, k):
+        # refinement correction bit for a history-nonzero coefficient
+        if reader.bits(1) and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def ac_refine(zz, ta):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.huff(huff[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s:
+                    val = p1 if reader.bits(1) else m1
+                elif r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                # advance over r zero-history coefficients; history-nonzero
+                # coefficients en route consume correction bits, not run
+                while k <= se:
+                    if zz[k] != 0:
+                        _correct(zz, k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"]:
+            while k <= se:  # EOB-run blocks still carry correction bits
+                if zz[k] != 0:
+                    _correct(zz, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def block(zz, comp, td, ta):
+        if ah == 0:
+            if ss == 0:  # DC first (progressive) / baseline DC
+                t = reader.huff(huff[(0, td)])
+                pred[comp["id"]] += _jpeg_extend(reader.bits(t), t)
+                zz[0] = pred[comp["id"]] << al
+            if se >= 1:
+                ac_first(zz, ta)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            zz[0] |= reader.bits(1) << al
+        else:
+            ac_refine(zz, ta)
+
+    def reset():
+        state["eobrun"] = 0
+        for cid in pred:
+            pred[cid] = 0
+
+    rst = 0
+    if len(scan) > 1:  # interleaved: MCU order over the padded raster
+        for m in range(mcux * mcuy):
+            if dri and m and m % dri == 0:
+                reader.restart(rst)
+                rst += 1
+                reset()
+            my, mx = divmod(m, mcux)
+            for comp, td, ta in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = coef[comp["id"]][my * comp["v"] + by, mx * comp["h"] + bx]
+                        block(zz, comp, td, ta)
+    else:  # non-interleaved: block raster over the COMPONENT's own grid
+        comp, td, ta = scan[0]
+        cw = -(-fw * comp["h"] // hmax)
+        ch = -(-fh * comp["v"] // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for i in range(nby * nbx):
+            if dri and i and i % dri == 0:
+                reader.restart(rst)
+                rst += 1
+                reset()
+            by, bx = divmod(i, nbx)
+            block(coef[comp["id"]][by, bx], comp, td, ta)
+
+    # advance to the next true marker (skip stuffed FF00 and RSTn)
+    p, n = reader.pos, len(buf)
+    while p + 1 < n and not (
+        buf[p] == 0xFF and buf[p + 1] != 0x00 and not (0xD0 <= buf[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _jpeg_finish(frame, coef, qt) -> tuple[int, int, np.ndarray]:
+    """Dequantize + batched IDCT + chroma upsample + color conversion over
+    the accumulated coefficient store — runs once, after the last scan."""
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for c in comps:
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        # DQT entries arrive zigzag-ordered (spec order), same as the store
+        zz = coef[c["id"]][:nby, :nbx].astype(np.float64) * qt[c["tq"]][_ZZ][None, None, :]
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, _ZZ] = zz
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        # per-block IDCT with the pre-refactor expression (see the encoder's
+        # note on einsum's 1-ULP summation drift vs rint boundaries)
+        for by in range(nby):
+            for bx in range(nbx):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_A.T @ blocks[by, bx] @ _DCT_A
+                )
+        p = plane[:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.rint(out_planes[0] + 128), 0, 255).astype(np.uint8)
+        return fw, fh, np.repeat(g[:, :, None], 3, axis=2)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = (p + 128 for p in out_planes)
+    cb, cr = cb - 128, cr - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _jpeg_decode_scan(buf, pos, frame, scan, qt, huff, restart_interval):
@@ -970,6 +1169,274 @@ def encode_jpeg(
                         wtr.bits(code, ln)
     wtr.flush()
     wtr.out += b"\xff\xd9"  # EOI
+    return bytes(wtr.out)
+
+
+# Progressive AC alphabet: baseline's 162 symbols plus the EOBn run-length
+# symbols (r<<4 for r=1..14; EOB0=0x00 is already the baseline EOB). 176
+# uniform 8-bit canonical codes — valid, deterministic, carried in DHT.
+_JPEG_AC_PROG_SYMBOLS = sorted(set(_JPEG_AC_SYMBOLS) | {r << 4 for r in range(15)})
+
+# libjpeg's default progressive scan script shape: DC first at Al=1 (all
+# components, interleaved), AC bands 1-5 / 6-63 at Al=2, DC refinement,
+# then AC refinements Al=2→1→0 — exercising every T.81 G.2 coding mode
+# (spectral selection, DC+AC successive approximation, EOB runs).
+_JPEG_PROG_SCRIPT = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 6, 63, 0, 2),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 0, 1, 63, 2, 1),
+    ("ac", 0, 1, 63, 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray | tuple[np.ndarray, np.ndarray] | int | None = None,
+    subsample: bool = False,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2): the same forward DCT + quantization
+    as ``encode_jpeg``, entropy-coded across a multi-scan script with
+    spectral selection and successive approximation (T.81 G.1.2 — DC
+    first/refinement, AC first scans with EOB runs, AC refinement with
+    buffered correction bits, mirroring libjpeg's jcphuff shapes). The
+    coefficient stream is IDENTICAL to the baseline encoding of the same
+    input, so ``decode_jpeg(encode_jpeg_progressive(a, q)) ==
+    decode_jpeg(encode_jpeg(a, q))`` exactly — the round-trip equality the
+    tests pin. ``scans`` overrides the default script with tuples
+    ``("dc", None, 0, 0, ah, al)`` / ``("ac", comp_idx, ss, se, ah, al)``."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    if isinstance(quant, int):
+        qluma = qchroma = np.full(64, quant, dtype=np.int64)
+    elif quant is None:
+        qluma, qchroma = _JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA
+    elif isinstance(quant, tuple):
+        qluma, qchroma = (np.asarray(q, dtype=np.int64) for q in quant)
+    else:
+        qluma = qchroma = np.asarray(quant, dtype=np.int64)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = np.rint(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        cr = np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+        if subsample:
+            def half(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return np.rint(
+                    (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4
+                )
+
+            planes = [y, half(cb), half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coef: list[np.ndarray] = []  # per component, zigzag, MCU-padded grid
+    for p, (sh, sv), tq in zip(planes, samp, qts):
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        q = qluma if tq == 0 else qchroma
+        nby, nbx = th // 8, tw // 8
+        zzc = np.zeros((nby, nbx, 64), dtype=np.int64)
+        # per-block GEMMs with EXACTLY encode_jpeg's expression — a batched
+        # einsum sums in a different order, and the 1-ULP drift flips
+        # np.rint at .5 quantization boundaries, breaking the pinned
+        # equality decode(progressive) == decode(baseline)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                co = _DCT_A @ block @ _DCT_A.T
+                zzc[by, bx] = np.rint(co.reshape(64)[_ZZ] / q[_ZZ]).astype(np.int64)
+        coef.append(zzc)
+
+    dc_enc = _huff_canonical(4, _JPEG_DC_SYMBOLS)
+    ac_enc = _huff_canonical(8, _JPEG_AC_PROG_SYMBOLS)
+    wtr = _JpegBitWriter()
+    wtr.out += b"\xff\xd8"
+
+    def segment(m: int, body: bytes) -> None:
+        wtr.out += bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ([(0, qluma)] if gray else [(0, qluma), (1, qchroma)]):
+        segment(0xDB, bytes([tq]) + bytes(int(q[i]) for i in _ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, ((sh, sv), tq) in enumerate(zip(samp, qts)):
+        sof += bytes([i + 1, (sh << 4) | sv, tq])
+    segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    dc_bits = bytes(12 if i == 4 else 0 for i in range(1, 17))
+    ac_bits = bytes(len(_JPEG_AC_PROG_SYMBOLS) if i == 8 else 0 for i in range(1, 17))
+    segment(0xC4, bytes([0x00]) + dc_bits + bytes(_JPEG_DC_SYMBOLS))
+    segment(0xC4, bytes([0x10]) + ac_bits + bytes(_JPEG_AC_PROG_SYMBOLS))
+
+    def put_amplitude(v: int, t: int) -> None:
+        wtr.bits(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def emit_ac(sym: int) -> None:
+        code, ln = ac_enc[sym]
+        wtr.bits(code, ln)
+
+    def comp_blocks(ci: int):
+        """Non-interleaved block order over the component raster."""
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for i in range(nby * nbx):
+            by, bx = divmod(i, nbx)
+            yield coef[ci][by, bx]
+
+    def dc_scan(ah: int, al: int) -> None:
+        pred = [0] * len(planes)
+        if len(planes) > 1:  # interleaved MCU order
+            it = (
+                (ci, coef[ci][my * samp[ci][1] + by, mx * samp[ci][0] + bx])
+                for m in range(mcux * mcuy)
+                for ci in range(len(planes))
+                for by in range(samp[ci][1])
+                for bx in range(samp[ci][0])
+                for my, mx in [divmod(m, mcux)]
+            )
+        else:
+            it = ((0, zz) for zz in comp_blocks(0))
+        for ci, zz in it:
+            if ah == 0:
+                v = int(zz[0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = int(abs(diff)).bit_length()
+                code, ln = dc_enc[t]
+                wtr.bits(code, ln)
+                if t:
+                    put_amplitude(diff, t)
+            else:
+                wtr.bits((int(zz[0]) >> al) & 1, 1)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> None:
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_ac(nbits << 4)
+                if nbits:
+                    wtr.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        for zz in comp_blocks(ci):
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                a = (t if t >= 0 else -t) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    emit_ac(0xF0)
+                    r -= 16
+                s = a.bit_length()
+                emit_ac((r << 4) | s)
+                put_amplitude(a if t >= 0 else -a, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> None:
+        eobrun = 0
+        pending: list[int] = []  # correction bits riding the open EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_ac(nbits << 4)
+                if nbits:
+                    wtr.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for b in pending:
+                wtr.bits(b, 1)
+            pending = []
+
+        for zz in comp_blocks(ci):
+            absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+            eob = 0  # band index of the LAST newly-significant coefficient
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = ss + i
+            r = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                k = ss + i
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:  # ZRLs not foldable into the EOB
+                    flush_eob()
+                    emit_ac(0xF0)
+                    r -= 16
+                    for b in br:
+                        wtr.bits(b, 1)
+                    br = []
+                if a > 1:  # history-nonzero: buffered correction bit
+                    br.append(a & 1)
+                    continue
+                flush_eob()  # newly significant (±1 at this bit position)
+                emit_ac((r << 4) | 1)
+                wtr.bits(0 if int(zz[k]) < 0 else 1, 1)
+                for b in br:
+                    wtr.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    for kind, ci, ss, se, ah, al in scans or _JPEG_PROG_SCRIPT:
+        if kind == "ac" and (ci is None or ci >= len(planes)):
+            continue  # grayscale: skip chroma scans of the default script
+        if kind == "dc":
+            ns = len(planes)
+            sos = bytes([ns])
+            for i in range(ns):
+                sos += bytes([i + 1, 0x00])
+            segment(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+            dc_scan(ah, al)
+        else:
+            segment(0xDA, bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al]))
+            if ah == 0:
+                ac_first_scan(ci, ss, se, al)
+            else:
+                ac_refine_scan(ci, ss, se, al)
+        wtr.flush()
+    wtr.out += b"\xff\xd9"
     return bytes(wtr.out)
 
 

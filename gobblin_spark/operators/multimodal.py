@@ -1,18 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-Decode status (round 4): REAL stdlib-only decode (``media_codecs``) for
+Decode status (round 5): REAL stdlib-only decode (``media_codecs``) for
 P6 PPM, 24-bit BMP, **PNG** (zlib inflate + all five scanline filters,
 color types 0/2/3/4/6 at 8-bit), **GIF** (LZW, animation, interlace),
-**baseline JPEG** (Huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
-restart markers), PCM WAV, and back-to-back-P6 "video" frame streams.
-resize/features/frame-sample operate on actual pixel/sample values for
-those formats, and the DuckDB contract oracles check the pixel math
-value-for-value. The only formats still behind the deterministic sha256
-STUB are the genuinely native-codec ones (progressive/arithmetic JPEG,
-H.264 video — no libjpeg/PIL/pyav in this container, verified each round);
-swapping in a real decoder means replacing only the fallback branches
-marked STUB below.
+**baseline AND progressive JPEG** (Huffman + dequant + numpy IDCT,
+4:4:4/4:2:2/4:2:0, restart markers; SOF2 spectral-selection +
+successive-approximation multi-scan decode since round 5), PCM WAV, and
+back-to-back-P6 "video" frame streams. resize/features/frame-sample
+operate on actual pixel/sample values for those formats, and the DuckDB
+contract oracles check the pixel math value-for-value. The only formats
+still behind the deterministic sha256 STUB are the genuinely native-codec
+ones (arithmetic-coded JPEG, H.264 video — no libjpeg/PIL/pyav in this
+container, verified each round); swapping in a real decoder means
+replacing only the fallback branches marked STUB below.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ from .media_codecs import (
     encode_bmp,
     encode_gif,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -152,7 +154,7 @@ def resize_images(
                         return encode_jpeg(resize_nn(arr, width, height), quant=1)
                 except ValueError:
                     pass  # corrupt/unsupported variant → stub fallback
-                # STUB fallback (progressive JPEG, H.264, …: native-only)
+                # STUB fallback (arithmetic JPEG, H.264, …: native-only)
                 return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
 
             yield pd.DataFrame(
@@ -463,14 +465,17 @@ def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic synthetic baseline JPEGs: per-8×8-block-constant
-    grayscale images with block value (did + 29·bx + 37·by) % 256, encoded
-    through the real entropy coder with a flat-8 quantizer — that combination
-    makes the decode EXACT (see media_codecs JPEG module note), so the DuckDB
-    contract oracle recomputes px_sum from the closed form and value-checks
-    the whole bitstream path: Huffman tables, DC prediction, zigzag, byte
-    stuffing, dequant, IDCT. Restart markers go on the contract path for
-    every did % 3 == 0 payload."""
+    """Deterministic synthetic JPEGs: per-8×8-block-constant grayscale
+    images with block value (did + 29·bx + 37·by) % 256, encoded through the
+    real entropy coder with a flat-8 quantizer — that combination makes the
+    decode EXACT (see media_codecs JPEG module note), so the DuckDB contract
+    oracle recomputes px_sum from the closed form and value-checks the whole
+    bitstream path: Huffman tables, DC prediction, zigzag, byte stuffing,
+    dequant, IDCT. Every did % 2 == 1 payload is PROGRESSIVE (SOF2
+    multi-scan: spectral selection + successive approximation + EOB runs —
+    round 5), so both T.81 coding processes sit on the driver-verified
+    contract path; restart markers ride every did % 6 == 0 baseline
+    payload."""
 
     def build(did: int) -> bytes:
         bw, bh = 2 + did % 3, 2 + did % 2
@@ -478,6 +483,8 @@ def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         by = np.arange(bh, dtype=np.int64)[:, None]
         vals = ((did + 29 * bx + 37 * by) % 256).astype(np.uint8)
         img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        if did % 2 == 1:
+            return encode_jpeg_progressive(img, quant=8)
         return encode_jpeg(img, quant=8, restart_interval=2 if did % 3 == 0 else 0)
 
     return _synth_payload_op(df, id_col, build)

@@ -113,14 +113,26 @@ def test_byte_stuffing_survives_ff_bytes_in_entropy_stream():
     assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max() <= 1
 
 
-def test_rejects_progressive_and_junk():
+def test_rejects_arithmetic_and_junk():
     with pytest.raises(ValueError):
         decode_jpeg(b"NOTAJPEG")
     payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    payload[sof + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic: still native-only)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_sof2_relabeled_baseline_scan_decodes():
+    """A baseline stream relabeled SOF2 is a legal single-full-scan
+    progressive file (Ss=0, Se=63, Ah=Al=0) — T.81's coding models coincide
+    there, and the unified decoder must read it identically."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = bytearray(encode_jpeg(img, quant=8))
+    base = decode_jpeg(bytes(payload))[2]
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    assert np.array_equal(decode_jpeg(bytes(payload))[2], base)
 
 
 def test_16bit_quant_table_decode():
@@ -203,3 +215,114 @@ def test_annex_k_luma_table_is_the_spec_table():
     # guard against silent edits: the canonical first row + corners
     assert list(_JPEG_QUANT_LUMA[:8]) == [16, 11, 10, 16, 24, 40, 51, 61]
     assert _JPEG_QUANT_LUMA[63] == 99 and _JPEG_QUANT_LUMA[56] == 72
+
+
+# ----------------------------------------------------------- progressive JPEG
+class TestProgressive:
+    """SOF2 multi-scan coverage. The load-bearing invariant: the progressive
+    encoder emits the IDENTICAL coefficient stream as baseline, so for any
+    input and quantizer decode(progressive) == decode(baseline) EXACTLY —
+    one equality pins the whole multi-scan machinery (DC/AC successive
+    approximation, spectral bands, EOB runs, buffered correction bits) on
+    both sides at once."""
+
+    def _roundtrip_equal(self, img, **kw):
+        from gobblin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert base[:2] == prog[:2]
+        assert np.array_equal(base[2], prog[2])
+
+    def test_gray_noise(self):
+        rng = np.random.default_rng(1)
+        self._roundtrip_equal(rng.integers(0, 256, (29, 37), dtype=np.uint8))
+
+    def test_rgb_444_noise(self):
+        rng = np.random.default_rng(2)
+        self._roundtrip_equal(rng.integers(0, 256, (24, 17, 3), dtype=np.uint8))
+
+    def test_rgb_420_odd_dims(self):
+        # odd dims + 4:2:0: interleaved DC scans cover MCU padding blocks
+        # while non-interleaved AC scans cover only the component raster —
+        # the geometry split that breaks naive implementations
+        rng = np.random.default_rng(3)
+        self._roundtrip_equal(
+            rng.integers(0, 256, (33, 31, 3), dtype=np.uint8), subsample=True
+        )
+
+    def test_flat_quant_exact_block_constant(self):
+        from gobblin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        img = _block_constant(np.array([[7, 200], [90, 31]]))
+        _, _, out = decode_jpeg(encode_jpeg_progressive(img, quant=8))
+        assert np.array_equal(out, np.repeat(img[:, :, None], 3, axis=2))
+
+    def test_smooth_image_eob_runs(self):
+        # smooth gradients quantize to long zero tails → EOBn spans many
+        # blocks; exercises cross-block EOB-run accumulation + flushing
+        x, y = np.meshgrid(np.arange(48), np.arange(40))
+        img = ((np.sin(x / 7) + np.cos(y / 9)) * 55 + 125).astype(np.uint8)
+        self._roundtrip_equal(img)
+        self._roundtrip_equal(np.repeat(img[:, :, None], 3, axis=2), subsample=True)
+
+    def test_nonflat_quant(self):
+        rng = np.random.default_rng(5)
+        self._roundtrip_equal(
+            rng.integers(0, 256, (19, 23, 3), dtype=np.uint8),
+            quant=np.arange(1, 65, dtype=np.int64),
+        )
+
+    def test_sniffs_as_jpeg_and_sof2_present(self):
+        from gobblin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        payload = encode_jpeg_progressive(np.zeros((8, 8), dtype=np.uint8))
+        assert sniff_format(payload) == "jpeg"
+        assert b"\xff\xc2" in payload  # SOF2 marker actually emitted
+        assert b"\xff\xc0" not in payload
+
+    def test_custom_scan_script(self):
+        # a different legal script (finer bands, deeper approximation) must
+        # converge to the same pixels
+        from gobblin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        scr = [
+            ("dc", None, 0, 0, 0, 2),
+            ("dc", None, 0, 0, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 0, 1, 2, 0, 3),
+            ("ac", 0, 3, 63, 0, 3),
+            ("ac", 0, 1, 63, 3, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img, scans=scr))
+        assert np.array_equal(base[2], prog[2])
+
+    def test_truncated_prefix_decodes_coarse(self):
+        # the defining property of progressive: a prefix (through an early
+        # scan boundary) still decodes to a full-size, approximately-right
+        # image instead of failing
+        from gobblin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        img = _block_constant(np.array([[40, 220], [130, 90]]))
+        payload = encode_jpeg_progressive(img, quant=8)
+        # cut after the 2nd SOS's entropy data: find the 3rd SOS and stop there
+        sos_positions = []
+        i = 0
+        while True:
+            i = payload.find(b"\xff\xda", i + 1)
+            if i < 0:
+                break
+            sos_positions.append(i)
+        prefix = payload[: sos_positions[2]] + b"\xff\xd9"
+        w, h, out = decode_jpeg(prefix)
+        assert (w, h) == (16, 16)
+        full = decode_jpeg(payload)[2].astype(int)
+        # DC at Al=1 + first AC band: within the successive-approximation
+        # error envelope of the final image (flat-8 quantizer, block DC ≤
+        # one 2^Al=2 quantization step ⇒ ≤ 16 gray levels here)
+        assert np.abs(out.astype(int) - full).max() <= 16
