@@ -14,6 +14,11 @@ event_type='error'. ``documents``/``embeddings`` back the training-data ops.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,6 +148,187 @@ FROM (
   FROM events
 ) WHERE rn = 1 AND event_type <> '{DELETE_TYPE}'
 """
+
+
+# --------------------------------------------------------- shared fixtures
+#
+# The engine-level lake queries (engine_replay / purge_delta / rebucket /
+# wap_publish / schema_rename, and the two changelog-read queries) each used
+# to build a private multi-commit SnapshotTable from scratch — ~17 s of
+# mostly driver-side commit orchestration per correctness run (r4 verdict
+# next #2b). They now share TWO disk-cached fixtures, built once per
+# (fixture version, testdata signature) and published atomically; mutating
+# consumers clone the directory (SnapshotTable layouts are root-relative —
+# a copied tree IS the table, watermarks riding along in table props), and
+# read-only consumers share it directly. The cache lives on DISK because
+# the driver may run every contract query in its own interpreter — a
+# module-global would never hit.
+
+_FIXTURE_VERSION = "r5-1"  # bump to invalidate cached on-disk fixtures
+_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _engine_changelog(ev: DataFrame) -> DataFrame:
+    """The standard events→changelog mapping shared by the engine-level
+    contract queries: key=url, 'error' plays the delete op, payload columns
+    carried through, offset axis = the global event_id (sparse per
+    partition — the engine plans watermark ranges, not densities)."""
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("user_id"),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
+        ).alias("html"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        F.col("event_id").alias("log_offset"),
+    )
+
+
+def _engine_table_schema(changelog: DataFrame):
+    """Table schema DERIVED from the changelog itself (not a hand-written
+    literal): the driver's session may read parquet timestamps as either
+    TIMESTAMP or TIMESTAMP_NTZ, and the engine must follow the data — a
+    hardcoded TimestampType crashed the round-1 correctness gate under the
+    driver's vanilla session (TIMESTAMP_NTZ input vs TIMESTAMP table)."""
+    from pyspark.sql import types as T
+
+    meta = {"op", "log_partition", "log_offset"}
+    return T.StructType([f for f in changelog.schema.fields if f.name not in meta])
+
+
+def _splits(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Scale-RELATIVE batch boundaries for the shared fixtures: 60% and 80%
+    of max(event_id). The oracles replicate them as scalar subqueries
+    (max(event_id)*6//10), so the shared base absorbs the same fraction of
+    the replay at every sf — a literal split like `<= 6000` covers 60% of
+    sf0.01 but only 6% of sf0.1, leaving each consumer to re-replay almost
+    the whole log there."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SPLIT_CACHE:
+        mx = _events(spark, sf_dir).agg(F.max("event_id")).collect()[0][0]
+        _SPLIT_CACHE[key] = (int(mx) * 6 // 10, int(mx) * 8 // 10)
+    return _SPLIT_CACHE[key]
+
+
+def _testdata_sig(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return f"{st.st_size}-{int(st.st_mtime)}"
+
+
+def _shared_fixture(sf_dir: str, name: str, builder) -> str:
+    """Build-once atomic-publish fixture directory. Concurrent builders
+    (processes, not threads) race benignly: both build, one os.rename()
+    wins, the loser discards its tree — a reader can never observe a
+    half-built table because the published name appears only complete."""
+    base = os.path.join(tempfile.gettempdir(), "gobblin-entry-fixtures")
+    os.makedirs(base, exist_ok=True)
+    key = hashlib.sha256(
+        f"{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}|{_testdata_sig(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(base, f"{name}-{key}")
+    if os.path.isdir(root):
+        return root
+    for stale in os.listdir(base):  # older testdata generations
+        if stale.startswith(f"{name}-") and stale != f"{name}-{key}":
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    build = f"{root}.build-{uuid.uuid4().hex[:8]}"
+    builder(build)
+    try:
+        os.rename(build, root)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # lost the publish race
+    return root
+
+
+def _clone_table(path: str) -> str:
+    """Private mutable copy of a fixture table (file copy ≪ rebuilding the
+    commits: the fixtures are metadata-dominated at contract scale)."""
+    dst = os.path.join(tempfile.mkdtemp(prefix="entry-fix-"), "pages")
+    shutil.copytree(path, dst)
+    return dst
+
+
+def _base_table_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Engine-replayed base table: the changelog's first 60% (by offset)
+    applied through the REAL engine (plan → LWW fold → delta MERGE → fenced
+    commit, job_id='fix-base') into an 8-bucket url-keyed table. Every
+    consumer that resumes from it therefore ALSO witnesses resume-from-
+    checkpoint across engine instances — the watermarks it resumes from
+    were committed by a different process."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    split, _ = _splits(spark, sf_dir)
+
+    def build(root):
+        changelog = _engine_changelog(_events(spark, sf_dir))
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "pages"),
+            _engine_table_schema(changelog),
+            key="url",
+            n_buckets=8,
+        )
+        CdcEngine(
+            spark, table, job_id="fix-base", extract=False, merge_mode="delta"
+        ).run(changelog.filter(F.col("log_offset") <= split))
+
+    root = _shared_fixture(sf_dir, "base", build)
+    return os.path.join(root, "pages"), split
+
+
+def _uid_3commit_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Read-only 3-commit table for the changelog-READ queries: user_id-keyed
+    LWW states of events ≤50%, ≤80%, and all, committed as v1/v2(delta)/
+    v3(delta). changes_between only reads manifests, so both consumers
+    share the directory with no clone."""
+    from gobblin_spark.lake import SnapshotTable
+    from pyspark.sql import types as T
+
+    t1, t2 = _splits(spark, sf_dir)
+
+    def build(root):
+        ev = _events(spark, sf_dir)
+
+        def batch(pred):
+            d = lww_latest(ev.filter(pred), ["user_id"], ["ts", "event_id"])
+            return d.select(
+                "user_id",
+                "ts",
+                "event_type",
+                "value",
+                "props",
+                "event_id",
+                F.col("ts").alias("_version_ts"),
+                F.col("event_id").alias("_version_off"),
+                (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
+            )
+
+        b1 = batch(F.col("event_id") <= t1)
+        hidden = {"_version_ts", "_version_off", "_deleted"}
+        schema = T.StructType(
+            [f for f in b1.schema.fields if f.name not in hidden]
+        )
+        t = SnapshotTable.create(
+            spark, os.path.join(root, "t"), schema, key="user_id", n_buckets=8
+        )
+        t.merge(b1)
+        t.merge(batch((F.col("event_id") > t1) & (F.col("event_id") <= t2)), mode="delta")
+        t.merge(batch(F.col("event_id") > t2), mode="delta")
+
+    return os.path.join(_shared_fixture(sf_dir, "uid3c", build), "t")
+
+
+# SQL fragments replicating _splits() in the DuckDB oracles (integer floor
+# division, identical to Python's //).
+_SPLIT60_SQL = "(SELECT max(event_id) * 6 // 10 FROM events)"
+_SPLIT80_SQL = "(SELECT max(event_id) * 8 // 10 FROM events)"
 
 
 # ------------------------------------------------------------------ CDC core
@@ -370,43 +556,32 @@ def q_writer_time_partitioning(spark, sf_dir):
 def q_cdc_engine_replay(spark, sf_dir):
     """END-TO-END: replay the events table as a changelog through the REAL
     engine (plan → LWW dedup → fenced MERGE → atomic commit with watermarks)
-    into a fresh snapshot table, and return the final visible state. The
-    DuckDB oracle recomputes the same final state with a window function —
-    the strongest correctness witness in the contract: it checks the entire
-    engine, not one operator. event_type='error' plays the delete op."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
+    and return the final visible state — the strongest correctness witness
+    in the contract: it checks the entire engine, not one operator.
+    event_type='error' plays the delete op. The first 60% of the log comes
+    pre-applied in the shared base fixture; THIS run resumes the same
+    job_id from the committed watermarks and applies the tail, so the query
+    now also witnesses exactly-once resume-from-checkpoint across engine
+    instances. The DuckDB oracle recomputes the final state from the FULL
+    history with an independent window fold, blind to the split — a lost or
+    doubled batch on either side of the resume value-hash-mismatches."""
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-    changelog = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
-        F.col("user_id"),
-        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
-        F.col("ts").alias("warc_ts"),
-        F.when(
-            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
-        ).alias("html"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
-        F.col("event_id"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
-        F.col("event_id").alias("log_offset"),
-    )
-    # table schema DERIVED from the changelog itself (not a hand-written
-    # literal): the driver's session may read parquet timestamps as either
-    # TIMESTAMP or TIMESTAMP_NTZ, and the engine must follow the data — a
-    # hardcoded TimestampType here crashed the round-1 correctness gate under
-    # the driver's vanilla session (TIMESTAMP_NTZ input vs TIMESTAMP table).
-    meta = {"op", "log_partition", "log_offset"}
-    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
-    root = tempfile.mkdtemp(prefix="engine-replay-")  # backs the lazy result DF
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
-    CdcEngine(spark, table, job_id="contract", extract=False).run(changelog)
+    path, split = _base_table_fixture(spark, sf_dir)
+    table = SnapshotTable(spark, _clone_table(path))
+    changelog = _engine_changelog(_events(spark, sf_dir))
+    # the global 60% split leaves per-partition gaps between the committed
+    # watermark and the tail floor; "earliest" resumes from the tail floor
+    # (the gap offsets were applied by the base run)
+    CdcEngine(
+        spark,
+        table,
+        job_id="fix-base",
+        extract=False,
+        merge_mode="delta",
+        reset_policy="earliest",
+    ).run(changelog.filter(F.col("log_offset") > split))
     final = table.read()
     return final.select(
         "user_id",
@@ -488,57 +663,35 @@ def q_cdc_point_lookup(spark, sf_dir):
 def q_cdc_wap_publish(spark, sf_dir):
     """WRITE-AUDIT-PUBLISH end-to-end (Iceberg SnapshotRef branches +
     fast_forward; Gobblin staged publish, BaseDataPublisher staging→final):
-    events ≤ 6000 replay into MAIN through the engine; the rest are STAGED
-    on an audit branch by a second engine (own watermark line), audited
-    there, and published to main with one ancestry-checked atomic pointer
-    swap. The returned state is main AFTER publish — the DuckDB oracle is
-    the same independent full-history LWW window fold as cdc_engine_replay,
-    so the value-hash witnesses that staging+publish is exactly equivalent
-    to direct ingestion (and the mid-state assert witnesses isolation)."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
+    the first 60% of the log comes pre-ingested into MAIN from the shared
+    base fixture; the tail is STAGED on an audit branch by a second engine
+    (own watermark line), audited there, and published to main with one
+    ancestry-checked atomic pointer swap. The returned state is main AFTER
+    publish — the DuckDB oracle is the same independent full-history LWW
+    window fold as cdc_engine_replay, so the value-hash witnesses that
+    staging+publish is exactly equivalent to direct ingestion (and the
+    mid-state assert witnesses isolation)."""
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-    changelog = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
-        F.col("user_id"),
-        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
-        F.col("ts").alias("warc_ts"),
-        F.when(
-            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
-        ).alias("html"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
-        F.col("event_id"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
-        F.col("event_id").alias("log_offset"),
-    )
-    meta = {"op", "log_partition", "log_offset"}
-    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
-    root = tempfile.mkdtemp(prefix="wap-publish-")
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
-    CdcEngine(spark, table, job_id="wap-main", extract=False).run(
-        changelog.filter(F.col("log_offset") <= 6000)
-    )
+    path, split = _base_table_fixture(spark, sf_dir)
+    root = _clone_table(path)
+    table = SnapshotTable(spark, root)
+    changelog = _engine_changelog(_events(spark, sf_dir))
     main_mid = table.version
     branch = table.create_branch("audit")
-    # offsets are global event_ids, so a global ≤6000 split leaves per-
+    # offsets are global event_ids, so the global 60% split leaves per-
     # partition gaps between main's committed watermark and the staged
     # stream's floor; "earliest" resumes from the staged floor (nothing was
-    # lost — the gap offsets were applied by the main run)
+    # lost — the gap offsets were applied by the base run)
     CdcEngine(
         spark, branch, job_id="wap-stage", extract=False, reset_policy="earliest"
-    ).run(changelog.filter(F.col("log_offset") > 6000))
+    ).run(changelog.filter(F.col("log_offset") > split))
     # audit on the BRANCH; main must still sit at the pre-staging snapshot
     assert branch.read().count() >= 0
-    assert SnapshotTable(spark, f"{root}/pages").version == main_mid
+    assert SnapshotTable(spark, root).version == main_mid
     table.fast_forward("audit")
-    final = SnapshotTable(spark, f"{root}/pages").read()
+    final = SnapshotTable(spark, root).read()
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -621,70 +774,49 @@ def q_cdc_concurrent_writers(spark, sf_dir):
 
 def q_cdc_purge_delta(spark, sf_dir):
     """MERGE-ON-READ PREDICATE DELETE end-to-end (Iceberg v2 equality-delete
-    fencing; gobblin-compliance purge): events ≤ 7000 replay through the
-    engine in delta merge mode, then a METADATA-ONLY delete_where
-    ("value >= 80", fenced at the max applied version) commits the purge in
-    O(1) — no data read or written. A second engine run applies the > 7000
-    tail, so keys re-upserted past the fence RESURRECT even when their new
-    row matches the predicate, while rows versioned under the fence stay
-    purged. The DuckDB oracle recomputes the exact fence algebra — one LWW
-    window fold over ALL events minus (pred AND version <= fence) — so a
-    wrong fence comparison, a pred applied pre-collapse (resurrecting stale
-    versions), or a purge lost across the second run's commits all
-    value-hash-mismatch."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
+    fencing; gobblin-compliance purge): the first 60% of the log comes
+    pre-applied in delta merge mode from the shared base fixture, then a
+    METADATA-ONLY delete_where ("value >= 80", fenced at the max applied
+    version) commits the purge in O(1) — no data read or written. A second
+    engine run applies the tail, so keys re-upserted past the fence
+    RESURRECT even when their new row matches the predicate, while rows
+    versioned under the fence stay purged. The DuckDB oracle recomputes the
+    exact fence algebra — one LWW window fold over ALL events minus (pred
+    AND version <= fence) — so a wrong fence comparison, a pred applied
+    pre-collapse (resurrecting stale versions), or a purge lost across the
+    second run's commits all value-hash-mismatch."""
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-    changelog = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
-        F.col("user_id"),
-        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
-        F.col("ts").alias("warc_ts"),
-        F.when(
-            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
-        ).alias("html"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
-        F.col("event_id"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
-        F.col("event_id").alias("log_offset"),
-    )
-    meta = {"op", "log_partition", "log_offset"}
-    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
-    root = tempfile.mkdtemp(prefix="purge-delta-")
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
-    CdcEngine(spark, table, job_id="purge", extract=False, merge_mode="delta").run(
-        changelog.filter(F.col("log_offset") <= 7000)
-    )
+    path, split = _base_table_fixture(spark, sf_dir)
+    table = SnapshotTable(spark, _clone_table(path))
+    changelog = _engine_changelog(_events(spark, sf_dir))
     # fence = max applied (version_ts, version_off): the purge covers
-    # everything committed so far and nothing the tail will write
+    # everything committed so far and nothing the tail will write. The µs
+    # mapping MUST be the lake's own (unix_micros over TIMESTAMP — the
+    # session-tz mapping of the stored _version_ts, lake.py:1085), not the
+    # naive-epoch helper, so the fence compares in the same µs domain.
     fence_us = (
-        changelog.filter(F.col("log_offset") <= 7000)
+        changelog.filter(F.col("log_offset") <= split)
         .agg(F.max(F.unix_micros(F.col("warc_ts").cast("timestamp"))))
         .collect()[0][0]
     )
     res = table.delete_where(
-        "value >= 80", mode="delta", fence_ts_us=int(fence_us), fence_off=7000
+        "value >= 80", mode="delta", fence_ts_us=int(fence_us), fence_off=split
     )
     assert res["mode"] == "delta"  # metadata-only commit
-    # global ≤7000 split leaves per-partition gaps between the committed
+    # the global 60% split leaves per-partition gaps between the committed
     # watermark and the tail floor; "earliest" resumes from the tail floor
-    # (the gap offsets were applied by the first run — same as cdc_wap_publish)
+    # (the gap offsets were applied by the base run)
     CdcEngine(
         spark,
         table,
-        job_id="purge",
+        job_id="fix-base",
         extract=False,
         merge_mode="delta",
         reset_policy="earliest",
-    ).run(changelog.filter(F.col("log_offset") > 7000))
-    final = SnapshotTable(spark, f"{root}/pages").read()
+    ).run(changelog.filter(F.col("log_offset") > split))
+    final = SnapshotTable(spark, table.root).read()
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -698,60 +830,41 @@ def q_cdc_purge_delta(spark, sf_dir):
 def q_cdc_schema_rename(spark, sf_dir):
     """Column RENAME + DROP DDL mid-ingest (Iceberg UpdateSchema.renameColumn/
     deleteColumn; the reference evolves Iceberg schemas through
-    IcebergMetadataWriter.java:1039-1078): events ≤ 5000 land under the
-    original schema, then a METADATA-ONLY alter_schema renames value→score
-    and drops html (no data rewritten), and the > 5000 tail lands under the
-    new names. The final read resolves BOTH eras — old files surface their
-    value bytes under score via the recorded name-transition walk, LWW
-    compares versions across the rename boundary. The DuckDB oracle is the
-    plain full-history LWW fold with value aliased to score: a mis-mapped
-    rename (old-era rows reading null score) or a dropped-column leak
-    value-hash-mismatches."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from gobblin_spark.dedup import lww_latest
+    IcebergMetadataWriter.java:1039-1078): the first 60% of the log lands
+    under the original schema (shared base fixture), then a METADATA-ONLY
+    alter_schema renames value→score and drops html (no data rewritten),
+    and the tail lands under the new names. The final read resolves BOTH
+    eras — old files surface their value bytes under score via the recorded
+    name-transition walk, LWW compares versions across the rename boundary.
+    The DuckDB oracle is the plain full-history LWW fold with value aliased
+    to score: a mis-mapped rename (old-era rows reading null score) or a
+    dropped-column leak value-hash-mismatches."""
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-
-    def _batch(pred, value_name: str, with_html: bool):
-        cols = [
+    path, split = _base_table_fixture(spark, sf_dir)
+    root = _clone_table(path)
+    table = SnapshotTable(spark, root)
+    res = table.alter_schema(renames={"value": "score"}, drops=["html"])
+    assert res["schema_id"] >= 1  # metadata-only DDL commit landed
+    ev = _events(spark, sf_dir).filter(F.col("event_id") > split)
+    tail = lww_latest(
+        ev.select(
             F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
             F.col("user_id"),
             F.col("ts").alias("warc_ts"),
-        ]
-        if with_html:
-            cols.append(
-                F.when(
-                    F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
-                ).alias("html")
-            )
-        cols += [
             F.col("event_type"),
-            F.col("value").alias(value_name),
+            F.col("value").alias("score"),
             F.col("props"),
             F.col("event_id"),
             F.col("ts").alias("_version_ts"),
             F.col("event_id").alias("_version_off"),
             (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
-        ]
-        return lww_latest(
-            ev.filter(pred).select(cols), ["url"], ["_version_ts", "_version_off"]
-        )
-
-    first = _batch(F.col("event_id") <= 5000, "value", with_html=True)
-    hidden = {"_version_ts", "_version_off", "_deleted"}
-    schema = T.StructType([f for f in first.schema.fields if f.name not in hidden])
-    root = tempfile.mkdtemp(prefix="schema-rename-")
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
-    table.merge(first, mode="delta")
-    res = table.alter_schema(renames={"value": "score"}, drops=["html"])
-    assert res["schema_id"] >= 1  # metadata-only DDL commit landed
-    table = SnapshotTable(spark, f"{root}/pages")
-    table.merge(_batch(F.col("event_id") > 5000, "score", with_html=False), mode="delta")
-    final = SnapshotTable(spark, f"{root}/pages").read()
+        ),
+        ["url"],
+        ["_version_ts", "_version_off"],
+    )
+    SnapshotTable(spark, root).merge(tail, mode="delta")
+    final = SnapshotTable(spark, root).read()
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -764,56 +877,33 @@ def q_cdc_schema_rename(spark, sf_dir):
 
 def q_cdc_rebucket(spark, sf_dir):
     """BUCKET-COUNT EVOLUTION mid-ingest (≈ Iceberg partition-spec evolution
-    bucket(N,key)→bucket(M,key), materialized eagerly as one rewrite): events
-    ≤ 6000 replay through the engine into an 8-bucket table, rebucket(32)
-    re-lays the table out atomically (tombstones kept — their versions still
-    fence the resumed replay), and the > 6000 tail lands under the NEW
-    layout. Final state must equal the plain full-history LWW fold: a wrong
-    bucket function after the rewrite (rows placed or probed in the wrong
-    bucket), a tombstone lost in the re-layout (deleted key resurrecting),
-    or a watermark lost across the rebucket commit all value-hash-mismatch
-    against the DuckDB oracle."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
+    bucket(N,key)→bucket(M,key), materialized eagerly as one rewrite): the
+    first 60% of the log comes pre-applied into the 8-bucket shared base
+    fixture, rebucket(32) re-lays the table out atomically (tombstones
+    kept — their versions still fence the resumed replay), and the tail
+    lands under the NEW layout. Final state must equal the plain
+    full-history LWW fold: a wrong bucket function after the rewrite (rows
+    placed or probed in the wrong bucket), a tombstone lost in the
+    re-layout (deleted key resurrecting), or a watermark lost across the
+    rebucket commit all value-hash-mismatch against the DuckDB oracle."""
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-    changelog = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
-        F.col("user_id"),
-        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
-        F.col("ts").alias("warc_ts"),
-        F.when(
-            F.col("event_type") != DELETE_TYPE, F.encode(F.col("props"), "utf-8")
-        ).alias("html"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
-        F.col("event_id"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
-        F.col("event_id").alias("log_offset"),
-    )
-    meta = {"op", "log_partition", "log_offset"}
-    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
-    root = tempfile.mkdtemp(prefix="rebucket-")
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=8)
-    CdcEngine(spark, table, job_id="rb", extract=False, merge_mode="delta").run(
-        changelog.filter(F.col("log_offset") <= 6000)
-    )
+    path, split = _base_table_fixture(spark, sf_dir)
+    root = _clone_table(path)
+    table = SnapshotTable(spark, root)
+    changelog = _engine_changelog(_events(spark, sf_dir))
     res = table.rebucket(32)
-    assert SnapshotTable(spark, f"{root}/pages").n_buckets == 32, res
+    assert SnapshotTable(spark, root).n_buckets == 32, res
     CdcEngine(
         spark,
-        SnapshotTable(spark, f"{root}/pages"),
-        job_id="rb",
+        SnapshotTable(spark, root),
+        job_id="fix-base",
         extract=False,
         merge_mode="delta",
         reset_policy="earliest",
-    ).run(changelog.filter(F.col("log_offset") > 6000))
-    final = SnapshotTable(spark, f"{root}/pages").read()
+    ).run(changelog.filter(F.col("log_offset") > split))
+    final = SnapshotTable(spark, root).read()
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -826,40 +916,14 @@ def q_cdc_rebucket(spark, sf_dir):
 
 def q_cdc_changes_between(spark, sf_dir):
     """Incremental consumption — the CDC READ side (≈ Iceberg changelog
-    scan / net_changes view): snapshot v1 = LWW state of events ≤ 7000,
-    snapshot v2 = LWW state of everything (delta commit); changes_between
-    classifies the net per-key delta as insert/update/delete with
+    scan / net_changes view): over the shared 3-commit fixture (v1 = LWW
+    state of events ≤50%, v2 += ≤80%, v3 += rest), changes_between(1, 2)
+    classifies the net per-key v1→v2 delta as insert/update/delete with
     manifest-diff bucket pruning. The DuckDB oracle recomputes both states
     with window functions and classifies independently."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-
-    def batch(pred):
-        d = lww_latest(ev.filter(pred), ["user_id"], ["ts", "event_id"])
-        return d.select(
-            "user_id",
-            "ts",
-            "event_type",
-            "value",
-            "props",
-            "event_id",
-            F.col("ts").alias("_version_ts"),
-            F.col("event_id").alias("_version_off"),
-            (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
-        )
-
-    b1 = batch(F.col("event_id") <= 7000)
-    hidden = {"_version_ts", "_version_off", "_deleted"}
-    schema = T.StructType([f for f in b1.schema.fields if f.name not in hidden])
-    root = tempfile.mkdtemp(prefix="changes-between-")
-    t = SnapshotTable.create(spark, f"{root}/t", schema, key="user_id", n_buckets=8)
-    t.merge(b1)
-    t.merge(batch(F.col("event_id") > 7000), mode="delta")
+    t = SnapshotTable(spark, _uid_3commit_fixture(spark, sf_dir))
     ch = t.changes_between(1, 2)
     return ch.select(
         "user_id",
@@ -871,43 +935,15 @@ def q_cdc_changes_between(spark, sf_dir):
 
 def q_cdc_changes_per_commit(spark, sf_dir):
     """Per-COMMIT changelog granularity (round-3 verdict next #10 — the
-    Iceberg changelog-view carry-over shape): a 3-commit window (v1 = events
-    ≤ 5000, v2 += ≤ 8000, v3 += rest) read back with
-    ``changes_between(1, 3, granularity='per_commit')`` — every key surfaces
-    once per commit that changed it, tagged with the commit version, instead
-    of one net v1→v3 row. The DuckDB oracle recomputes all three LWW states
-    with window functions and classifies each consecutive pair
-    independently."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
+    Iceberg changelog-view carry-over shape): the shared 3-commit fixture
+    read back with ``changes_between(1, 3, granularity='per_commit')`` —
+    every key surfaces once per commit that changed it, tagged with the
+    commit version, instead of one net v1→v3 row. The DuckDB oracle
+    recomputes all three LWW states with window functions and classifies
+    each consecutive pair independently."""
     from gobblin_spark.lake import SnapshotTable
 
-    ev = _events(spark, sf_dir)
-
-    def batch(pred):
-        d = lww_latest(ev.filter(pred), ["user_id"], ["ts", "event_id"])
-        return d.select(
-            "user_id",
-            "ts",
-            "event_type",
-            "value",
-            "props",
-            "event_id",
-            F.col("ts").alias("_version_ts"),
-            F.col("event_id").alias("_version_off"),
-            (F.col("event_type") == DELETE_TYPE).alias("_deleted"),
-        )
-
-    b1 = batch(F.col("event_id") <= 5000)
-    hidden = {"_version_ts", "_version_off", "_deleted"}
-    schema = T.StructType([f for f in b1.schema.fields if f.name not in hidden])
-    root = tempfile.mkdtemp(prefix="changes-per-commit-")
-    t = SnapshotTable.create(spark, f"{root}/t", schema, key="user_id", n_buckets=8)
-    t.merge(b1)
-    t.merge(batch((F.col("event_id") > 5000) & (F.col("event_id") <= 8000)), mode="delta")
-    t.merge(batch(F.col("event_id") > 8000), mode="delta")
+    t = SnapshotTable(spark, _uid_3commit_fixture(spark, sf_dir))
     ch = t.changes_between(1, 3, granularity="per_commit")
     return ch.select(
         "user_id",
@@ -2148,10 +2184,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # merge-on-read predicate delete with version fencing: final LWW
         # state minus (pred AND last version <= fence); fence = (max ts of
-        # events <= 7000, offset 7000), replicated literally here
+        # events at or under the shared fixture's 60% split, offset =
+        # split), replicated here with the same integer floor division
         "cdc_purge_delta": f"""
         WITH fence AS (
-          SELECT max(ts) AS fts FROM events WHERE event_id <= 7000
+          SELECT max(ts) AS fts, {_SPLIT60_SQL} AS foff
+          FROM events WHERE event_id <= {_SPLIT60_SQL}
         )
         SELECT user_id,
                event_id AS last_event_id,
@@ -2167,7 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
           AND event_type <> '{DELETE_TYPE}'
           AND NOT (value >= 80
-                   AND (ts < fts OR (ts = fts AND event_id <= 7000)))
+                   AND (ts < fts OR (ts = fts AND event_id <= foff)))
         """,
         "cdc_point_lookup": f"""
             SELECT user_id,
@@ -2232,14 +2270,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM (
                 SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events WHERE event_id <= 7000
+                FROM events WHERE event_id <= {_SPLIT60_SQL}
               ) WHERE rn = 1
             ),
             s2 AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events
+                FROM events WHERE event_id <= {_SPLIT80_SQL}
               ) WHERE rn = 1
             ),
             cl AS (
@@ -2267,14 +2305,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM (
                 SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events WHERE event_id <= 5000
+                FROM events WHERE event_id <= {_SPLIT60_SQL}
               ) WHERE rn = 1
             ),
             s2 AS (
               SELECT * FROM (
                 SELECT *, row_number() OVER (
                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events WHERE event_id <= 8000
+                FROM events WHERE event_id <= {_SPLIT80_SQL}
               ) WHERE rn = 1
             ),
             s3 AS (
