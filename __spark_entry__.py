@@ -29,6 +29,7 @@ from gobblin_spark.operators.dedup_families import (
     chunk_frequency_dedup,
     contamination_check,
     dedup_against_history,
+    duplicate_spans,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -1558,6 +1559,25 @@ def q_docs_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_docs_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (the distributed Lee-et-al
+    suffix-array approximation): 40-char windows on stride 7, corpus-wide
+    frequency over the portable 60-bit hash, cross-document duplicated
+    windows merged into maximal [start, end) character spans per document
+    via a gaps-and-islands running max-end. Only (id, pos, hash) triples
+    shuffle; span merge is a per-document window. Oracle replicates the
+    windowing, hash grouping and island merge value-for-value."""
+    out = duplicate_spans(
+        _docs(spark, sf_dir), window=40, stride=7, cross_doc_only=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1638,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_decode": q_cdc_debezium_decode,
         # -- new in r5 --
         "cdc_engine_patch_replay": q_cdc_engine_patch_replay,
+        "docs_dup_spans": q_docs_dup_spans,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -2723,6 +2744,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(c.chunks) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
                    md5(coalesce(r.clean_text, '')) AS clean_md5
             FROM ch c LEFT JOIN rec r USING (doc_id)
+        """,
+        "docs_dup_spans": """
+            WITH wins AS (
+              SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+                     ('0x' || substr(md5(substr(d.text, CAST(t.i AS INT), 40)),
+                                     1, 15))::BIGINT AS h
+              FROM documents d,
+                   LATERAL unnest(range(1, greatest(length(d.text) - 39, 0) + 1, 7))
+                     AS t(i)
+              WHERE length(d.text) >= 40
+            ), dup AS (
+              SELECT h FROM wins GROUP BY h
+              HAVING count(*) >= 2 AND min(doc_id) <> max(doc_id)
+            ), hits AS (
+              SELECT doc_id, pos FROM wins JOIN dup USING (h)
+            ), isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(
+                       max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS new_isl
+              FROM hits
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+                   count(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
         """,
         "docs_incremental_dedup": """
             WITH d AS (
