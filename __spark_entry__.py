@@ -166,7 +166,6 @@ FROM (
 # module-global would never hit.
 
 _FIXTURE_VERSION = "r5-1"  # bump to invalidate cached on-disk fixtures
-_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def _engine_changelog(ev: DataFrame) -> DataFrame:
@@ -210,11 +209,19 @@ def _splits(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     the replay at every sf — a literal split like `<= 6000` covers 60% of
     sf0.01 but only 6% of sf0.1, leaving each consumer to re-replay almost
     the whole log there."""
+    mx = _max_event_id(spark, sf_dir)
+    return (mx * 6 // 10, mx * 8 // 10)
+
+
+_MAXID_CACHE: dict[str, int] = {}
+
+
+def _max_event_id(spark: SparkSession, sf_dir: str) -> int:
     key = os.path.abspath(sf_dir)
-    if key not in _SPLIT_CACHE:
+    if key not in _MAXID_CACHE:
         mx = _events(spark, sf_dir).agg(F.max("event_id")).collect()[0][0]
-        _SPLIT_CACHE[key] = (int(mx) * 6 // 10, int(mx) * 8 // 10)
-    return _SPLIT_CACHE[key]
+        _MAXID_CACHE[key] = int(mx)
+    return _MAXID_CACHE[key]
 
 
 def _testdata_sig(sf_dir: str) -> str:
@@ -326,6 +333,69 @@ def _uid_3commit_fixture(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(_shared_fixture(sf_dir, "uid3c", build), "t")
 
 
+def _patch_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog-row-image=minimal changelog shared by the patch fixture and
+    the resuming patch-replay query: event_id mod 3/5 drops that column
+    from the event's image, 'error' events play tombstones. Offsets must
+    be DENSE per log partition (the planner's batch slicing equates event
+    count with offset delta — a global event_id as offset inflates every
+    partition's backlog 8× and shreds the run into 8× more commits);
+    row_number over (partition, event_id) is deterministic and keeps a
+    key's versions monotone in its offsets (the fold's contract)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    epoch = F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")
+    w = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(8))).orderBy("event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.timestamp_add("SECOND", F.col("event_id").cast("int"), epoch).alias(
+            "warc_ts"
+        ),
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v_num"),
+        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("v_props"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("log_offset"),
+    )
+
+
+def _patch_table_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """The first TWO of the patch-replay's three fenced batches,
+    pre-applied through the REAL patch-fold engine (job_id='fix-patch')
+    into a 16-bucket url-keyed table. The cut is a per-partition dense-
+    offset prefix (~2/3 of the log), so the resuming consumer's committed
+    watermarks are gapless and default strict resume applies."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    cut = (_max_event_id(spark, sf_dir) * 2 // 3) // 8
+
+    def build(root):
+        changelog = _patch_changelog(spark, sf_dir)
+        head = changelog.filter(F.col("log_offset") <= cut)
+        table = SnapshotTable.create(
+            spark,
+            os.path.join(root, "pages"),
+            _engine_table_schema(changelog),
+            key="url",
+            n_buckets=16,
+        )
+        n = head.count()
+        CdcEngine(
+            spark,
+            table,
+            job_id="fix-patch",
+            extract=False,
+            fold="patch",
+            patch_cols=["v_num", "v_props"],
+            merge_mode="delta",
+        ).run(head, max_events_per_batch=n // 2 + 1)
+
+    root = _shared_fixture(sf_dir, "patch", build)
+    return os.path.join(root, "pages"), cut
+
+
 # SQL fragments replicating _splits() in the DuckDB oracles (integer floor
 # division, identical to Python's //).
 _SPLIT60_SQL = "(SELECT max(event_id) * 6 // 10 FROM events)"
@@ -408,7 +478,10 @@ def q_cdc_engine_patch_replay(spark, sf_dir):
     (``CdcEngine(fold="patch", patch_cols=...)``, r4 verdict next #5): a
     binlog-row-image=minimal changelog (event_id mod 3/5 ⇒ column absent
     from that event's image, 'error' events play tombstones) replays in
-    THREE fenced delta-merge batches — so the per-column
+    THREE fenced delta-merge batches (the first two pre-applied in the
+    shared patch fixture by job_id='fix-patch'; THIS run resumes from its
+    committed watermarks and applies the tail batch, witnessing
+    exactly-once resume across engine instances) — so the per-column
     last-non-null-after-tombstone fold is exercised ACROSS commit
     boundaries, where a naive full-row LWW would null out every column a
     later batch's image did not carry. Versions are monotone per key
@@ -418,49 +491,25 @@ def q_cdc_engine_patch_replay(spark, sf_dir):
     + ordered/filtered last() per column) with no knowledge of the batch
     split: any column leaked/lost across a batch boundary, a tombstone that
     failed to reset, or a watermark/fence error value-hash-mismatches."""
-    import tempfile
-
-    from pyspark.sql import types as T
-
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.lake import SnapshotTable
 
-    from pyspark.sql import Window
-
-    ev = _events(spark, sf_dir)
-    epoch = F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")
-    # offsets must be DENSE per log partition (the planner's batch slicing
-    # equates event count with offset delta — a global event_id as offset
-    # inflates every partition's backlog 8× and shreds the run into 8× more
-    # commits); row_number over (partition, event_id) is deterministic and
-    # keeps a key's versions monotone in its offsets (the fold's contract)
-    w = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(8))).orderBy("event_id")
-    changelog = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
-        F.timestamp_add("SECOND", F.col("event_id").cast("int"), epoch).alias(
-            "warc_ts"
-        ),
-        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
-        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v_num"),
-        F.when(F.col("event_id") % 5 != 0, F.col("props")).alias("v_props"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("log_partition"),
-        (F.row_number().over(w) - 1).cast("long").alias("log_offset"),
-    )
-    meta = {"op", "log_partition", "log_offset"}
-    schema = T.StructType([f for f in changelog.schema.fields if f.name not in meta])
-    root = tempfile.mkdtemp(prefix="engine-patch-")
-    table = SnapshotTable.create(spark, f"{root}/pages", schema, key="url", n_buckets=16)
-    n = changelog.count()
+    path, cut = _patch_table_fixture(spark, sf_dir)
+    table = SnapshotTable(spark, _clone_table(path))
+    changelog = _patch_changelog(spark, sf_dir)
+    # offsets are dense per partition and the fixture applied the exact
+    # prefix log_offset <= cut, so the committed watermarks line up flush
+    # against the tail — default (strict) resume, no reset policy needed
     CdcEngine(
         spark,
         table,
-        job_id="patch-replay",
+        job_id="fix-patch",
         extract=False,
         fold="patch",
         patch_cols=["v_num", "v_props"],
         merge_mode="delta",
-    ).run(changelog, max_events_per_batch=n // 3 + 1)
-    final = SnapshotTable(spark, f"{root}/pages").read()
+    ).run(changelog.filter(F.col("log_offset") > cut))
+    final = table.read()
     return final.select(
         "url",
         F.col("warc_ts").alias("last_ts"),
