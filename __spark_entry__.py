@@ -37,6 +37,7 @@ from gobblin_spark.operators.dedup_families import (
 )
 from gobblin_spark.operators.clustering import cluster_representatives, dup_clusters
 from gobblin_spark.operators.patch import patch_merge
+from gobblin_spark.operators.temporal import asof_join, scd2_history, sessionize
 from gobblin_spark.operators.fork import fork_counts
 from gobblin_spark.operators.sampling import (
     pack_shards,
@@ -515,6 +516,87 @@ def q_cdc_engine_patch_replay(spark, sf_dir):
         F.col("warc_ts").alias("last_ts"),
         "v_num",
         "v_props",
+    )
+
+
+def q_cdc_scd2_history(spark, sf_dir):
+    """SCD Type 2 fold of the events changelog (operators/temporal.py):
+    every upsert becomes a validity interval [valid_from, valid_to) on the
+    (ts, event_id) version axis, deletes ('error') close their
+    predecessor's interval and emit nothing, open intervals are current.
+    One shuffle on user_id + a single lead() window. The oracle recomputes
+    the intervals with DuckDB's own lead() — interval boundaries, delete
+    termination, and the is_current flag all value-hash-checked."""
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == DELETE_TYPE, "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+        "props",
+    )
+    out = scd2_history(log, ["user_id"], ["ts", "event_id"], op_col="op")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+        "is_current",
+        "value",
+        "props",
+    )
+
+
+def q_cdc_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment (operators/temporal.py asof_join): every
+    click/view event picks up the user's latest PURCHASE state at-or-before
+    its timestamp — the classic "join the event stream to the CDC-built
+    dimension as of event time". Union-and-carry plan: ONE shuffle on
+    user_id, a per-key ordered window carries the last purchase forward;
+    no range join, no build-side explosion. The oracle is DuckDB's native
+    ASOF LEFT JOIN — an INDEPENDENT algorithm (sorted interval probe), so
+    tie-breaking (inclusive >=), missing-state NULLs, and stale carries
+    all cross-check value-for-value."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # dimension feed: one state row per (user, ts) — defensively LWW'd on
+    # event_id so equal-timestamp purchase pairs can't make carry order
+    # engine-dependent
+    right = (
+        lww_latest(
+            ev.filter(F.col("event_type") == "purchase"),
+            ["user_id", "ts"],
+            ["event_id"],
+        )
+        .select("user_id", F.col("ts").alias("rts"), F.col("value").alias("state"))
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "rts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("_matched_t").alias("state_ts"),
+        F.col("r_state").alias("state"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (operators/temporal.py): 30-minute
+    gap splits a user's events into sessions; per-session start/end/count.
+    Gaps-and-islands with one shuffle on user_id. Oracle replicates with
+    an independent lag-threshold + running-sum SQL formulation."""
+    out = sessionize(_events(spark, sf_dir), "user_id", "ts", gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 
@@ -1708,6 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "cdc_engine_patch_replay": q_cdc_engine_patch_replay,
         "docs_dup_spans": q_docs_dup_spans,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_asof_enrich": q_cdc_asof_enrich,
+        "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -2793,6 +2878,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(c.chunks) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
                    md5(coalesce(r.clean_text, '')) AS clean_md5
             FROM ch c LEFT JOIN rec r USING (doc_id)
+        """,
+        "cdc_scd2_history": f"""
+            WITH led AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = '{DELETE_TYPE}' THEN 'D'
+                          ELSE 'U' END AS op,
+                     value, props,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to
+              FROM events
+            )
+            SELECT user_id, event_id, ts AS valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current, value, props
+            FROM led WHERE op <> 'D'
+        """,
+        "cdc_asof_enrich": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, event_type FROM events
+              WHERE event_type IN ('click', 'view')
+            ), r AS (
+              SELECT user_id, ts AS rts, value AS state
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+              ) WHERE rn = 1
+            )
+            SELECT l.user_id, l.event_id, l.ts, l.event_type,
+                   r.rts AS state_ts, r.state AS state
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.rts
+        """,
+        "events_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), labeled AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM lagged
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM labeled GROUP BY user_id, session_seq
         """,
         "docs_dup_spans": """
             WITH wins AS (

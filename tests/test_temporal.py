@@ -1,0 +1,132 @@
+"""Unit tests for the temporal operator family (SCD2 / as-of / sessions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gobblin_spark.operators.temporal import asof_join, scd2_history, sessionize
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_intervals_and_delete_termination(spark):
+    """Upserts chain into half-open intervals; a delete closes the last
+    interval without emitting a row; a re-insert after delete opens a new
+    current interval."""
+    log = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:00:00"), 1, "U", 10.0),
+            ("a", _ts("2024-01-02T00:00:00"), 2, "U", 20.0),
+            ("a", _ts("2024-01-03T00:00:00"), 3, "D", None),
+            ("a", _ts("2024-01-04T00:00:00"), 4, "U", 40.0),
+            ("b", _ts("2024-01-05T00:00:00"), 5, "U", 50.0),
+            ("c", _ts("2024-01-06T00:00:00"), 6, "D", None),
+        ],
+        "k string, ts timestamp, seq long, op string, v double",
+    )
+    out = scd2_history(log, ["k"], ["ts", "seq"], op_col="op").collect()
+    rows = {(r["k"], r["seq"]): r for r in out}
+    assert set(rows) == {("a", 1), ("a", 2), ("a", 4), ("b", 5)}
+    assert rows[("a", 1)]["valid_to"] == _ts("2024-01-02T00:00:00")
+    assert not rows[("a", 1)]["is_current"]
+    # the delete at 01-03 closes seq=2's interval
+    assert rows[("a", 2)]["valid_to"] == _ts("2024-01-03T00:00:00")
+    assert not rows[("a", 2)]["is_current"]
+    # the re-insert is current and open
+    assert rows[("a", 4)]["valid_to"] is None
+    assert rows[("a", 4)]["is_current"]
+    assert rows[("b", 5)]["is_current"]
+    # intervals tile: valid_from is the row's own version
+    assert rows[("a", 2)]["valid_from"] == _ts("2024-01-02T00:00:00")
+
+
+def test_scd2_no_op_column(spark):
+    """Without an op column every row is an upsert."""
+    log = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], "k string, seq long, v string"
+    )
+    out = {r["seq"]: r for r in scd2_history(log, ["k"], ["seq"]).collect()}
+    assert out[1]["valid_to"] == 2 and not out[1]["is_current"]
+    assert out[2]["valid_to"] is None and out[2]["is_current"]
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "e1"),  # exact tie with right @10:00
+            (1, _ts("2024-01-01T11:30:00"), "e2"),  # between right rows
+            (2, _ts("2024-01-01T09:00:00"), "e3"),  # before any right row
+            (3, _ts("2024-01-01T12:00:00"), "e4"),  # key with no right rows
+        ],
+        "uid long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T11:00:00"), 110.0),
+            (2, _ts("2024-01-01T09:30:00"), 200.0),
+        ],
+        "uid long, rts timestamp, state double",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(left, right, ["uid"], "ts", "rts").collect()
+    }
+    assert out["e1"]["r_state"] == 100.0, "equal timestamps match (inclusive)"
+    assert out["e2"]["r_state"] == 110.0, "latest at-or-before wins"
+    assert out["e3"]["r_state"] is None, "no state yet -> NULL"
+    assert out["e4"]["r_state"] is None, "key absent from right -> NULL"
+    assert out["e2"]["_matched_t"] == _ts("2024-01-01T11:00:00")
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "fresh"), (1, _ts("2024-01-02T10:00:01"), "stale")],
+        "uid long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:59:00"), 7.0)], "uid long, rts timestamp, state double"
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, ["uid"], "ts", "rts", tolerance=F.expr("INTERVAL 1 DAY")
+        ).collect()
+    }
+    assert out["fresh"]["r_state"] == 7.0
+    assert out["stale"]["r_state"] is None and out["stale"]["_matched_t"] is None
+
+
+def test_sessionize_gap_splits_and_assign(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00:00")),
+        (1, _ts("2024-01-01T10:10:00")),
+        (1, _ts("2024-01-01T10:39:00")),  # 29 min gap: same session (boundary)
+        (1, _ts("2024-01-01T11:20:00")),  # 41 min: new session
+        (2, _ts("2024-01-01T00:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = sessionize(ev, "uid", "ts", gap_minutes=30).collect()
+    sess = {(r["uid"], r["session_seq"]): r for r in out}
+    assert set(sess) == {(1, 1), (1, 2), (2, 1)}
+    assert sess[(1, 1)]["n_events"] == 3
+    assert sess[(1, 1)]["session_end"] == _ts("2024-01-01T10:39:00")
+    assert sess[(1, 2)]["n_events"] == 1
+    labeled = sessionize(ev, "uid", "ts", gap_minutes=30, assign=True).collect()
+    assert len(labeled) == len(rows)
+    got = {(r["uid"], r["ts"]): r["session_seq"] for r in labeled}
+    assert got[(1, _ts("2024-01-01T11:20:00"))] == 2
+
+
+def test_sessionize_exact_gap_boundary_is_same_session(spark):
+    """An interval of exactly gap_minutes does NOT split (strict >)."""
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00")), (1, _ts("2024-01-01T10:30:00"))],
+        "uid long, ts timestamp",
+    )
+    out = sessionize(ev, "uid", "ts", gap_minutes=30).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
