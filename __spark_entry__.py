@@ -1709,6 +1709,38 @@ def q_docs_dup_spans(spark, sf_dir):
     )
 
 
+def q_docs_bloom_filter(spark, sf_dir):
+    """Bloom-prefiltered membership vs history (operators/membership.py —
+    the approximate SCALE path for incremental dedup): the history split
+    (doc_id%4≠0) builds a 2048-bit k=2 filter as a distributed bit_or
+    aggregation; the new batch (doc_id%4=0) probes it with ZERO shuffle
+    (filter words ride the plan as a literal array, probe is forall over
+    codegen array indexing). Output per new doc: the filter's verdict AND
+    the exact truth — so the oracle (which rebuilds the EXACT same bit
+    positions from md5 halves in SQL) checks the no-false-negative
+    invariant and every individual false positive, bit-for-bit. m is kept
+    deliberately small so real FPs occur at contract scale."""
+    from gobblin_spark.operators.membership import bloom_probe, bloom_words
+
+    m, k = 2048, 2
+    docs = _docs(spark, sf_dir)
+    key = F.coalesce(F.col("text"), F.lit(""))
+    hist = (
+        docs.filter(F.col("doc_id") % 4 != 0).select(key.alias("key")).distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", key.alias("key"))
+    words = bloom_words(hist, "key", m, k)
+    probed = bloom_probe(new, "key", words, m, k)
+    return (
+        probed.join(hist.withColumn("_h", F.lit(True)), "key", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce(F.col("_h"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1791,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_patch_replay": q_cdc_engine_patch_replay,
         "docs_dup_spans": q_docs_dup_spans,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "docs_bloom_filter": q_docs_bloom_filter,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -2892,6 +2925,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "docs_bloom_filter": """
+            WITH hist AS (
+              SELECT DISTINCT coalesce(text, '') AS key
+              FROM documents WHERE doc_id % 4 <> 0
+            ), hpos AS (
+              SELECT DISTINCT
+                (('0x' || substr(md5(key), 1, 15))::BIGINT
+                 + t.i * ('0x' || substr(md5(key), 17, 15))::BIGINT) % 2048 AS p
+              FROM hist, unnest([0, 1]) AS t(i)
+            ), new AS (
+              SELECT doc_id, coalesce(text, '') AS key
+              FROM documents WHERE doc_id % 4 = 0
+            ), probe AS (
+              SELECT n.doc_id,
+                (('0x' || substr(md5(n.key), 1, 15))::BIGINT
+                 + t.i * ('0x' || substr(md5(n.key), 17, 15))::BIGINT) % 2048 AS p
+              FROM new n, unnest([0, 1]) AS t(i)
+            ), verdict AS (
+              SELECT pr.doc_id, bool_and(hpos.p IS NOT NULL) AS maybe_member
+              FROM probe pr LEFT JOIN hpos ON pr.p = hpos.p
+              GROUP BY pr.doc_id
+            )
+            SELECT n.doc_id, v.maybe_member,
+                   EXISTS (SELECT 1 FROM hist h WHERE h.key = n.key) AS is_dup
+            FROM new n JOIN verdict v USING (doc_id)
         """,
         "cdc_asof_enrich": """
             WITH l AS (
