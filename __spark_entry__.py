@@ -1741,6 +1741,29 @@ def q_docs_bloom_filter(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest (sources/warc.py): the documents table
+    becomes 8 deterministic WARC/1.0 members (warcinfo + response records,
+    HTTP blocks, length-prefixed framing), then parse_warc walks them back
+    into records via mapInPandas (file-level parallelism, the Common Crawl
+    unit). The oracle recomputes every record's framing SYMBOLICALLY from
+    the documents table — URI, date arithmetic, the WARC Content-Length
+    (HTTP head + body bytes), status, body md5 — so a single mis-framed
+    byte, wrong length, or body corruption value-hash-mismatches without
+    the oracle ever parsing WARC itself."""
+    from gobblin_spark.sources.warc import parse_warc, synth_warc_archives
+
+    rec = parse_warc(synth_warc_archives(_docs(spark, sf_dir), n_files=8))
+    return rec.filter(F.col("warc_type") == "response").select(
+        "target_uri",
+        "warc_date",
+        F.col("content_length").cast("long").alias("content_length"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.md5(F.col("body")).alias("body_md5"),
+        F.col("file_id").cast("int").alias("file_id"),
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1824,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_spans": q_docs_dup_spans,
         "cdc_scd2_history": q_cdc_scd2_history,
         "docs_bloom_filter": q_docs_bloom_filter,
+        "warc_ingest": q_warc_ingest,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -2925,6 +2949,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "warc_ingest": """
+            SELECT 'http://site/' || doc_id AS target_uri,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + to_seconds(doc_id),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   77
+                     + length(CAST(octet_length(encode(coalesce(text, '')))
+                                   AS VARCHAR))
+                     + octet_length(encode(coalesce(text, '')))
+                     AS content_length,
+                   200 AS http_status,
+                   md5(coalesce(text, '')) AS body_md5,
+                   CAST(doc_id % 8 AS INT) AS file_id
+            FROM documents
         """,
         "docs_bloom_filter": """
             WITH hist AS (
