@@ -1764,6 +1764,29 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_docs_span_scrub(spark, sf_dir):
+    """Substring-dedup REMOVAL (operators/dedup_families.py
+    remove_duplicate_spans — Lee-et-al §3's cut step): every duplicated
+    span found by docs_dup_spans is excised and the document's unique
+    remainder survives, rebuilt by a pure-codegen aggregate() walk over
+    the sorted span array (no Python, text never explodes). The oracle
+    recomputes the same spans, derives the KEPT segments with a lag()
+    window, and reassembles them with ordered string_agg — the rebuilt
+    text is compared by md5, so a single off-by-one in any span boundary
+    or segment slice mismatches."""
+    from gobblin_spark.operators.dedup_families import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), window=40, stride=7
+    )
+    return out.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("orig_len"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1845,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "cdc_engine_patch_replay": q_cdc_engine_patch_replay,
         "docs_dup_spans": q_docs_dup_spans,
+        "docs_span_scrub": q_docs_span_scrub,
         "cdc_scd2_history": q_cdc_scd2_history,
         "docs_bloom_filter": q_docs_bloom_filter,
         "warc_ingest": q_warc_ingest,
@@ -3057,6 +3081,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    count(*) AS n_windows
             FROM grp GROUP BY doc_id, g
+        """,
+        "docs_span_scrub": """
+            WITH wins AS (
+              SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+                     ('0x' || substr(md5(substr(d.text, CAST(t.i AS INT), 40)),
+                                     1, 15))::BIGINT AS h
+              FROM documents d,
+                   LATERAL unnest(range(1, greatest(length(d.text) - 39, 0) + 1, 7))
+                     AS t(i)
+              WHERE length(d.text) >= 40
+            ), dup AS (
+              SELECT h FROM wins GROUP BY h
+              HAVING count(*) >= 2 AND min(doc_id) <> max(doc_id)
+            ), hits AS (
+              SELECT doc_id, pos FROM wins JOIN dup USING (h)
+            ), isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(
+                       max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS new_isl
+              FROM hits
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+              FROM grp GROUP BY doc_id, g
+            ), segs AS (
+              SELECT doc_id,
+                     coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                                  ORDER BY span_start), 1) AS s,
+                     span_start AS e
+              FROM spans
+              UNION ALL
+              SELECT sp.doc_id, max(sp.span_end), length(d.text) + 1
+              FROM spans sp JOIN documents d USING (doc_id)
+              GROUP BY sp.doc_id, length(d.text)
+            ), rebuilt AS (
+              SELECT sg.doc_id,
+                     string_agg(substr(d.text, CAST(sg.s AS INT),
+                                       CAST(sg.e - sg.s AS INT)),
+                                '' ORDER BY sg.s) AS clean
+              FROM segs sg JOIN documents d USING (doc_id)
+              GROUP BY sg.doc_id
+            )
+            SELECT d.doc_id,
+                   length(coalesce(d.text, '')) AS orig_len,
+                   length(coalesce(r.clean, d.text, '')) AS clean_len,
+                   md5(coalesce(r.clean, d.text, '')) AS clean_md5
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "docs_incremental_dedup": """
             WITH d AS (

@@ -697,3 +697,58 @@ def duplicate_spans(
             F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    **span_kwargs,
+) -> DataFrame:
+    """The REMOVAL step of substring dedup (Lee et al. 2022 §3: cut the
+    duplicated passage, keep the document's unique remainder): given the
+    spans from :func:`duplicate_spans` (or computing them with
+    ``span_kwargs``), rebuild each document's text with every duplicated
+    ``[span_start, span_end)`` range excised. Documents with no spans pass
+    through unchanged; a document that is ALL duplicate comes out empty
+    (downstream length filters drop it — this operator never deletes rows).
+
+    Physical plan: spans aggregate to one array per document (sorted,
+    disjoint by construction), hash-join back to the docs (the span side
+    is ≤ one row per document and only for documents that HAVE duplicates
+    — AQE broadcasts it on deduplicated corpora), and the rebuild is a
+    single ``aggregate`` higher-order function walking the span array and
+    concatenating the kept segments — pure codegen string slicing, zero
+    Python, no explode of the text.
+    """
+    if spans is None:
+        spans = duplicate_spans(docs, id_col=id_col, text_col=text_col, **span_kwargs)
+    packed = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "_spans"
+        )
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    rebuilt = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda st, sp: F.struct(
+            sp["span_end"].cast("long").alias("pos"),
+            F.concat(
+                st["acc"], t.substr(st["pos"], sp["span_start"] - st["pos"])
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(st["acc"], t.substr(st["pos"], F.length(t))),
+    )
+    return (
+        docs.join(packed, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_spans").isNull(), t).otherwise(rebuilt),
+        )
+        .drop("_spans")
+    )

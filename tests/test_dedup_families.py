@@ -288,3 +288,61 @@ def test_duplicate_spans_adjacent_windows_merge_exactly(spark):
         assert len(spans) == 2, (d, spans)
         (s1, e1), (s2, e2) = spans
         assert e1 <= s2, "spans must be disjoint and ordered"
+
+
+def test_remove_duplicate_spans_excises_and_passes_through(spark):
+    """The shared passage is cut from both docs (flanks survive), unique
+    docs pass through byte-identical, and rows are never dropped."""
+    from gobblin_spark.operators.dedup_families import remove_duplicate_spans
+
+    shared = "0123456789" * 8
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAAA" + shared + "BBBBB"),
+            (2, "CCCCCCCCCCCC" + shared + "DD"),
+            (3, "totally-unique-" + "xyzvw" * 20),
+            (4, "tiny"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs, window=20, stride=1).collect()
+    }
+    assert len(out) == 5, "no rows dropped"
+    # stride=1: spans are exact -> flanks survive verbatim, passage gone
+    assert out[1] == "AAAAA" + "BBBBB"
+    assert out[2] == "CCCCCCCCCCCC" + "DD"
+    assert out[3] == "totally-unique-" + "xyzvw" * 20
+    assert out[4] == "tiny"
+    assert out[5] == "", "NULL text normalizes to empty"
+
+
+def test_remove_duplicate_spans_multiple_disjoint_spans(spark):
+    from gobblin_spark.operators.dedup_families import remove_duplicate_spans
+
+    a, b = "A" * 20, "B" * 20
+    docs = spark.createDataFrame(
+        [(1, a + "0123456789" + b), (2, a + "~~~~~~~~~~~~~~~~~" + b)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs, window=10, stride=1).collect()
+    }
+    assert out[1] == "0123456789"
+    assert out[2] == "~~~~~~~~~~~~~~~~~"
+
+
+def test_remove_duplicate_spans_whole_doc_duplicate_goes_empty(spark):
+    from gobblin_spark.operators.dedup_families import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "Z" * 50), (2, "Z" * 50)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(docs, window=10, stride=1).collect()
+    }
+    assert out[1] == "" and out[2] == ""
