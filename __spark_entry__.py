@@ -1787,6 +1787,57 @@ def q_docs_span_scrub(spark, sf_dir):
     )
 
 
+def q_conv_dlq_route(spark, sf_dir):
+    """Converter-chain dead-letter routing (converters.chain_with_dlq —
+    Gobblin's RowLevelPolicy ERR_FILE contract): a deterministically
+    corrupted JSON feed (event_id%7 → malformed JSON, %5 → non-numeric
+    value, value<0 → range violation) runs a 3-stage chain; each failing
+    row is diverted with first-failure-wins provenance, survivors convert
+    fully, nothing is dropped. The oracle classifies every event with
+    pure modular arithmetic — no JSON parsing on the oracle side — so a
+    row landing on the wrong side, at the wrong stage, or twice
+    mismatches."""
+    from gobblin_spark.converters import chain_with_dlq, json_decode
+
+    ev = _events(spark, sf_dir)
+    v = (F.col("event_id") % 10 - 2).cast("long").cast("string")
+    payload = (
+        F.when(F.col("event_id") % 7 == 0, F.lit('{"v": '))
+        .when(F.col("event_id") % 5 == 0, F.lit('{"v": "oops"}'))
+        .otherwise(F.concat(F.lit('{"v": "'), v, F.lit('"}')))
+    )
+    feed = ev.select("event_id", payload.alias("payload"))
+    good, dlq = chain_with_dlq(
+        feed,
+        [
+            (
+                "json",
+                json_decode("payload", "v string"),
+                lambda: F.col("decoded").isNull() | F.col("decoded.v").isNull(),
+            ),
+            (
+                "cast",
+                lambda d: d.withColumn(
+                    "v_num", F.col("decoded.v").try_cast("long")
+                ),
+                lambda: F.col("v_num").isNull(),
+            ),
+            ("range", lambda d: d, lambda: F.col("v_num") < 0),
+        ],
+    )
+    return good.select(
+        "event_id",
+        F.lit("ok").alias("stage"),
+        F.lit(None).cast("string").alias("reason"),
+    ).unionByName(
+        dlq.select(
+            F.get_json_object("_payload", "$.event_id").cast("long").alias("event_id"),
+            F.col("_err_stage").alias("stage"),
+            F.col("_err_reason").alias("reason"),
+        )
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1872,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "docs_bloom_filter": q_docs_bloom_filter,
         "warc_ingest": q_warc_ingest,
+        "conv_dlq_route": q_conv_dlq_route,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -2973,6 +3025,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "conv_dlq_route": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN 'json'
+                        WHEN event_id % 5 = 0 THEN 'cast'
+                        WHEN event_id % 10 < 2 THEN 'range'
+                        ELSE 'ok' END AS stage,
+                   CASE WHEN event_id % 7 = 0 THEN 'failed: json'
+                        WHEN event_id % 5 = 0 THEN 'failed: cast'
+                        WHEN event_id % 10 < 2 THEN 'failed: range'
+                        ELSE NULL END AS reason
+            FROM events
         """,
         "warc_ingest": """
             SELECT 'http://site/' || doc_id AS target_uri,

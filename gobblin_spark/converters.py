@@ -134,6 +134,71 @@ def row_policy(pred: Column, on_fail: str = "divert"):
     return (lambda df: df.filter(pred)), (lambda df: df.filter(~pred))
 
 
+def try_cast_field(column: str, dtype: str, alias: str | None = None) -> Converter:
+    """Null-on-failure cast — the DLQ-compatible form of the cast converters:
+    under Spark 4's default ANSI mode a plain cast THROWS on a malformed
+    value and kills the task; try_cast yields NULL so the error-routing
+    chain can divert the row instead (Gobblin parity: conversion errors
+    become err-file rows, not job failures)."""
+    return lambda df: df.withColumn(
+        alias or column, F.col(column).try_cast(dtype)
+    )
+
+
+def chain_with_dlq(
+    df: DataFrame,
+    stages: list[tuple[str, Converter, Callable[[], Column]]],
+    reason: Callable[[str], Column] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Converter chain with a dead-letter queue — Gobblin's row-level
+    ERR_FILE contract (RowLevelPolicy.Type.ERR_FILE,
+    gobblin-api/.../qualitychecker/row/RowLevelPolicy.java:33-68;
+    MultiConverter chaining): a row that fails any stage's post-condition
+    is DIVERTED with provenance (which stage, why) and the job continues;
+    it is never silently dropped and never aborts the batch.
+
+    ``stages`` is ``(name, converter, error_when)`` where ``error_when``
+    is a zero-arg callable producing the failure predicate over the
+    converter's OUTPUT columns (lazy so it can reference columns the
+    converter just created). Rows already failed skip later stages'
+    verdicts (first failure wins — its stage/reason stick), but note the
+    stage CONVERTERS still execute column-wise on failed rows, so chain
+    stages must be non-throwing expressions (from_json/try_cast/rlike —
+    the converters in this module; use ``try_cast_field`` not a raw ANSI
+    cast).
+
+    Returns ``(good, dlq)``: good = the fully-converted survivors; dlq =
+    ``(_err_stage, _err_reason, _payload)`` with the ORIGINAL input row
+    re-serialized as JSON (error rows must round-trip for replay after a
+    fix — the err-file contract). Both sides share one tagged lineage —
+    there is no per-stage branching, so Catalyst sees a single linear
+    plan and the split is two complementary filters at the end (the same
+    two-pass cost as any side-output; persist upstream if the source scan
+    dominates)."""
+    src_cols = list(df.columns)
+    tagged = df.withColumn("_err_stage", F.lit(None).cast("string")).withColumn(
+        "_err_reason", F.lit(None).cast("string")
+    )
+    for name, conv, error_when in stages:
+        tagged = conv(tagged)
+        fails = F.col("_err_stage").isNull() & F.coalesce(error_when(), F.lit(False))
+        why = reason(name) if reason is not None else F.lit(f"failed: {name}")
+        tagged = tagged.withColumn(
+            "_err_reason", F.when(fails, why).otherwise(F.col("_err_reason"))
+        ).withColumn(
+            "_err_stage", F.when(fails, F.lit(name)).otherwise(F.col("_err_stage"))
+        )
+    good = tagged.filter(F.col("_err_stage").isNull()).drop(
+        "_err_stage", "_err_reason"
+    )
+    dlq = tagged.filter(F.col("_err_stage").isNotNull()).select(
+        F.col("_err_stage"),
+        F.col("_err_reason"),
+        F.to_json(F.struct(*[F.col(c) for c in src_cols])).alias("_payload"),
+    )
+    return good, dlq
+
+
 # ----------------------------------------------------------- URL normalization
 
 

@@ -207,3 +207,63 @@ def test_url_canonicalizer_chain(spark):
     df = spark.createDataFrame([("HTTP://A.com:80/x#f",)], "url string")
     out = chain(df, [url_canonicalizer("url")]).collect()[0]["url"]
     assert out == "http://a.com/x"
+
+
+# ------------------------------------------------------- DLQ error routing
+
+
+def test_chain_with_dlq_diverts_with_provenance(spark):
+    """First failing stage wins, rows are never dropped, payload round-trips."""
+    import json
+
+    from gobblin_spark.converters import chain_with_dlq, json_decode, try_cast_field
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '{"v": "10"}'),      # clean
+        (2, "not json at all"),  # stage 1 failure
+        (3, '{"v": "oops"}'),    # stage 2 failure (non-numeric v)
+        (4, '{"v": "-3"}'),      # stage 3 failure (range)
+        (5, None),               # NULL payload -> stage 1 failure
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    good, dlq = chain_with_dlq(
+        df,
+        [
+            (
+                "json",
+                json_decode("payload", "v string"),
+                # PERMISSIVE from_json yields an all-null struct (not NULL)
+                # for malformed input — check the required field
+                lambda: F.col("decoded").isNull() | F.col("decoded.v").isNull(),
+            ),
+            (
+                "cast",
+                lambda d: d.withColumn("v_num", F.col("decoded.v").try_cast("long")),
+                lambda: F.col("v_num").isNull(),
+            ),
+            ("range", lambda d: d, lambda: F.col("v_num") < 0),
+        ],
+    )
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {1} and g[1]["v_num"] == 10
+    d = {json.loads(r["_payload"])["id"]: r for r in dlq.collect()}
+    assert {i: d[i]["_err_stage"] for i in d} == {
+        2: "json",
+        3: "cast",
+        4: "range",
+        5: "json",
+    }
+    # payload round-trips the ORIGINAL row for replay
+    assert json.loads(d[3]["_payload"]) == {"id": 3, "payload": '{"v": "oops"}'}
+    assert d[2]["_err_reason"] == "failed: json"
+    # conservation: every input row lands on exactly one side
+    assert good.count() + dlq.count() == len(rows)
+
+
+def test_try_cast_field_nulls_instead_of_ansi_throw(spark):
+    from gobblin_spark.converters import try_cast_field
+
+    df = spark.createDataFrame([("12",), ("x",)], "s string")
+    out = {r["s"]: r["n"] for r in try_cast_field("s", "long", "n")(df).collect()}
+    assert out == {"12": 12, "x": None}
