@@ -1838,6 +1838,29 @@ def q_conv_dlq_route(spark, sf_dir):
     )
 
 
+def q_docs_host_cap(spark, sf_dir):
+    """Per-source document cap (operators/sampling.py top_k_per_group —
+    C4-style domain governance: keep each host's best k docs so no single
+    domain dominates a training export). Skew-safe two-phase top-k: local
+    rank within (source, input-split) — the split id is a built-in salt,
+    so a hot host never sorts in one task — then a global rank over the
+    k-bounded survivors. Priority = longest docs first, doc_id tiebreak.
+    The oracle is the naive single-window row_number ≤ k — the two plans
+    must agree row-for-row including rank values."""
+    from gobblin_spark.operators.sampling import top_k_per_group
+
+    out = top_k_per_group(
+        _docs(spark, sf_dir),
+        "source",
+        10,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        rank_col="rk",
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", F.col("rk").cast("long").alias("rk")
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -1924,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_filter": q_docs_bloom_filter,
         "warc_ingest": q_warc_ingest,
         "conv_dlq_route": q_conv_dlq_route,
+        "docs_host_cap": q_docs_host_cap,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -3025,6 +3049,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "docs_host_cap": """
+            SELECT doc_id, source, n_chars, rk FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 10
         """,
         "conv_dlq_route": """
             SELECT event_id,

@@ -127,3 +127,46 @@ def shard_stats(packed: DataFrame) -> DataFrame:
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("weight").alias("total_weight")
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_cols: list[Column],
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top-``k`` rows of every group under a deterministic total
+    order — the per-host/per-domain CAP a web corpus needs before training
+    export (C4-style governance: no single domain dominates; keep each
+    host's best ``k`` documents, drop the rest).
+
+    SKEW-SAFE two-phase plan, not the textbook single window: a hot host
+    with 10^8 rows would funnel its entire group through one task under
+    ``row_number() OVER (PARTITION BY host)``. Phase 1 ranks within
+    (group, input-partition-id) — the pre-shuffle partition id acts as a
+    built-in salt, so a hot group spreads over as many tasks as it has
+    input splits and each task keeps only its local top-k. Phase 2 ranks
+    the survivors (≤ k × splits-per-group rows, k-bounded, shuffle-light)
+    globally per group. Same result as the naive window by construction
+    — phase 1 can never evict a global top-k row, because a row beaten by
+    k rows in its own split is beaten by k rows globally.
+
+    ``order_cols`` must be a deterministic total order (tie-break on a
+    unique id last). With ``rank_col`` set, the global 1-based rank is
+    kept in the output."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    local = Window.partitionBy(
+        F.col(group_col), F.spark_partition_id()
+    ).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order_cols)
+    out = survivors.withColumn(
+        rank_col or "_grk", F.row_number().over(final)
+    ).filter(F.col(rank_col or "_grk") <= k)
+    return out if rank_col else out.drop("_grk")

@@ -101,3 +101,41 @@ def test_pack_shard_stats(docs):
 def test_pack_rejects_bad_bucket_count(docs):
     with pytest.raises(ValueError):
         pack_shards(docs, "doc_id", "w", budget=1000, n_buckets=6)
+
+
+# ------------------------------------------------------- per-group top-k cap
+
+
+def test_top_k_per_group_equals_naive_window(spark):
+    """The skew-safe two-phase plan returns exactly the naive window's
+    answer, including rank values, on a skewed multi-partition input."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from gobblin_spark.operators.sampling import top_k_per_group
+
+    rng = random.Random(11)
+    rows = [("hot", i, rng.randrange(10**6)) for i in range(5000)] + [
+        (f"g{i % 37}", 10000 + i, rng.randrange(10**6)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "host string, id long, score long").repartition(16)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = top_k_per_group(df, "host", 7, order, rank_col="rk")
+    naive = (
+        df.withColumn("rk", F.row_number().over(W.partitionBy("host").orderBy(*order)))
+        .filter(F.col("rk") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # hot group capped at exactly 7
+    assert got.filter(F.col("host") == "hot").count() == 7
+
+
+def test_top_k_per_group_small_groups_pass_through(spark):
+    from gobblin_spark.operators.sampling import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 3.0), ("b", 3, 1.0)], "g string, id long, s double"
+    )
+    out = top_k_per_group(df, "g", 10, [F.col("s").desc(), F.col("id")])
+    assert out.count() == 3 and "_grk" not in out.columns and "_lrk" not in out.columns
