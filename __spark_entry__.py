@@ -600,6 +600,57 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_cdc_bootstrap_handoff(spark, sf_dir):
+    """Initial-load → incremental handoff (the day-0 shape of every CDC
+    pipeline: a full source snapshot bootstraps the table, then the
+    changelog tail takes over from the snapshot's watermark): the first
+    60% of the log folds OUTSIDE the engine into a snapshot batch (LWW +
+    tombstone flags, merged as commit v1 with no job watermarks), then the
+    REAL engine tails offsets > cut under reset_policy='earliest' — the
+    bootstrap handoff contract: a fresh job on a pre-loaded table must
+    start from the tail floor, not refuse for missing watermarks, and the
+    cross-boundary fold (key updated both sides, deleted in tail,
+    resurrected in tail) must land exactly where a full replay would. The
+    oracle IS the full-history fold, blind to the cut."""
+    import tempfile
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lake import SnapshotTable
+
+    changelog = _engine_changelog(_events(spark, sf_dir))
+    cut, _ = _splits(spark, sf_dir)
+    schema = _engine_table_schema(changelog)
+    root = tempfile.mkdtemp(prefix="bootstrap-")
+    table = SnapshotTable.create(
+        spark, f"{root}/pages", schema, key="url", n_buckets=8
+    )
+    head = changelog.filter(F.col("log_offset") <= cut)
+    snap = lww_latest(head, ["url"], ["warc_ts", "event_id"]).select(
+        *[f.name for f in schema.fields],
+        F.col("warc_ts").alias("_version_ts"),
+        F.col("log_offset").alias("_version_off"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+    table.merge(snap)
+    CdcEngine(
+        spark,
+        table,
+        job_id="bootstrap-tail",
+        extract=False,
+        merge_mode="delta",
+        reset_policy="earliest",
+    ).run(changelog.filter(F.col("log_offset") > cut))
+    final = table.read()
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("warc_ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_watermark_discovery(spark, sf_dir):
     """Per-partition high-watermark discovery (≈ KafkaSource offset
     resolution, KafkaSource.java:544-683)."""
@@ -1948,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "conv_dlq_route": q_conv_dlq_route,
         "docs_host_cap": q_docs_host_cap,
+        "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -3049,6 +3101,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "cdc_bootstrap_handoff": f"""
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   ts AS last_ts,
+                   event_type AS last_type,
+                   value AS last_value,
+                   props AS last_props
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 AND event_type <> '{DELETE_TYPE}'
         """,
         "docs_host_cap": """
             SELECT doc_id, source, n_chars, rk FROM (
