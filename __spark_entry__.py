@@ -1912,6 +1912,19 @@ def q_docs_host_cap(spark, sf_dir):
     )
 
 
+def q_docs_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (operators/textstats.py
+    tfidf_keywords): integer-rational scoring (tf * (N*10^6 // df)) so the
+    ranking is bit-identical across engines — float idf is un-oracle-able
+    (libm 1-ulp drift flips ties). In-row tokenization, map-side-combinable
+    tf and df aggregations (df counts rows of the already-unique tf table,
+    no countDistinct), term-key join, per-doc rank. The oracle replays the
+    identical token/score/rank pipeline in SQL."""
+    from gobblin_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -2000,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dlq_route": q_conv_dlq_route,
         "docs_host_cap": q_docs_host_cap,
         "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+        "docs_tfidf_keywords": q_docs_tfidf_keywords,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -3101,6 +3115,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "docs_tfidf_keywords": """
+            WITH toks AS (
+              SELECT d.doc_id, t.term
+              FROM documents d,
+                   LATERAL unnest(string_split_regex(
+                     lower(coalesce(d.text, '')), '[^a-z]+')) AS t(term)
+              WHERE length(t.term) >= 3
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfx AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     tf.tf * ((n.n * 1000000) // dfx.df) AS score
+              FROM tf JOIN dfx USING (term), n
+            )
+            SELECT doc_id, term, tf, df, score, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rk
+              FROM scored
+            ) WHERE rk <= 5
         """,
         "cdc_bootstrap_handoff": f"""
             SELECT user_id,

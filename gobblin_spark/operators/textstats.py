@@ -205,3 +205,60 @@ def winnow_fingerprints(
         F.expr("bit_xor(win_min)").alias("fp_xor"),
         F.min("win_min").alias("fp_min"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 3,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the cheap relevance signal
+    a webtext pipeline attaches for retrieval/topic bucketing.
+
+    Scoring is INTEGER-RATIONAL on purpose: ``score = tf * (N*scale // df)``
+    with floor division, so the ranking is bit-identical on every engine —
+    a float idf (log N/df) ranks identically in the common case but ties
+    and 1-ulp libm differences across engines make float scores
+    un-oracle-able. Monotonicity in (tf, 1/df) — the property that makes
+    tf-idf work — is preserved exactly.
+
+    Plan: tokenize in-row (lower + split, pure codegen), explode to
+    (doc, term), ONE map-side-combinable count → tf; df = row count per
+    term over the already-(doc,term)-unique tf table (no countDistinct);
+    join tf⋈df on the term key; rank per doc. Three shuffles — term-key
+    aggregation twice, doc-key window once — all map-side combinable or
+    k-bounded; the text column never shuffles. N (corpus size) is a
+    driver-side scalar: one count() action, metadata-sized.
+
+    Output: (id_col, term, tf, df, score, rk) for ranks 1..k, ordered by
+    (score desc, term asc) — deterministic total order."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+                lambda t: F.length(t) >= min_len,
+            )
+        ).alias("term"),
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tab, "term").withColumn(
+        "score",
+        F.col("tf") * F.expr(f"CAST({n_docs * idf_scale} AS BIGINT) div df"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "score",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
