@@ -165,7 +165,8 @@ def chain_with_dlq(
     stage CONVERTERS still execute column-wise on failed rows, so chain
     stages must be non-throwing expressions (from_json/try_cast/rlike —
     the converters in this module; use ``try_cast_field`` not a raw ANSI
-    cast).
+    cast) and must be column-ADDING (withColumn-style), never projections
+    that would drop the chain's bookkeeping columns.
 
     Returns ``(good, dlq)``: good = the fully-converted survivors; dlq =
     ``(_err_stage, _err_reason, _payload)`` with the ORIGINAL input row
@@ -176,8 +177,16 @@ def chain_with_dlq(
     two-pass cost as any side-output; persist upstream if the source scan
     dominates)."""
     src_cols = list(df.columns)
-    tagged = df.withColumn("_err_stage", F.lit(None).cast("string")).withColumn(
-        "_err_reason", F.lit(None).cast("string")
+    # snapshot the original row BEFORE any stage runs: converters mutate
+    # columns in place (try_cast_field's default alias overwrites), and a
+    # post-mutation serialization would ship the corrupted value to the
+    # DLQ, breaking the replay-after-fix contract
+    tagged = (
+        df.withColumn(
+            "_payload", F.to_json(F.struct(*[F.col(c) for c in src_cols]))
+        )
+        .withColumn("_err_stage", F.lit(None).cast("string"))
+        .withColumn("_err_reason", F.lit(None).cast("string"))
     )
     for name, conv, error_when in stages:
         tagged = conv(tagged)
@@ -189,12 +198,10 @@ def chain_with_dlq(
             "_err_stage", F.when(fails, F.lit(name)).otherwise(F.col("_err_stage"))
         )
     good = tagged.filter(F.col("_err_stage").isNull()).drop(
-        "_err_stage", "_err_reason"
+        "_err_stage", "_err_reason", "_payload"
     )
     dlq = tagged.filter(F.col("_err_stage").isNotNull()).select(
-        F.col("_err_stage"),
-        F.col("_err_reason"),
-        F.to_json(F.struct(*[F.col(c) for c in src_cols])).alias("_payload"),
+        F.col("_err_stage"), F.col("_err_reason"), F.col("_payload")
     )
     return good, dlq
 

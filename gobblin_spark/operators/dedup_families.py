@@ -614,12 +614,10 @@ def duplicate_spans(
       text column (pure codegen, zero Python) and only ``(id, pos, hash60)``
       triples ever explode or shuffle — ~24 bytes per window, text/stride
       bytes per document, the text itself never leaves the scan stage;
-    - the corpus-wide frequency pass is a map-side-combinable groupBy on the
-      8-byte hash (count + min/max doc id decide duplication — no distinct
-      count, no second shuffle);
-    - marking rejoins wins⋈dup_hashes on the same hash key (AQE broadcasts
-      the dup side when the duplicated-window set is small, the common case
-      on deduplicated corpora);
+    - the corpus-wide frequency pass is ONE window over the 8-byte hash
+      (count + min/max doc id decide duplication — no distinct count, no
+      groupBy+rejoin, so the explode+hash scan of the corpus runs exactly
+      once; the window's sort is over 24-byte triples, not text);
     - span merging is a per-document window function — parallelism is the
       number of documents, per-task state is O(windows per doc) ≤ doclen/stride.
 
@@ -649,31 +647,36 @@ def duplicate_spans(
                     F.sequence(F.lit(1), F.length(t) - (w - 1), F.lit(s)),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.conv(F.substring(F.md5(t.substr(i, F.lit(w))), 1, 15), 16, 10)
-                        .cast("long")
-                        .alias("h"),
+                        portable_hash60(t.substr(i, F.lit(w))).alias("h"),
                     ),
                 )
             ).alias("win"),
         )
         .select("id", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
     )
+
+    from pyspark.sql import Window
+
+    # corpus frequency as a WINDOW over the hash key, not groupBy+rejoin:
+    # a rejoin evaluates `wins` twice — the explode+md5 over the whole
+    # corpus is the dominant cost and would be re-scanned end to end; the
+    # window computes it once behind a single shuffle on h (the sort it
+    # adds is over 24-byte triples, far cheaper than re-hashing the text)
+    wh = Window.partitionBy("h")
     dup_cond = F.col("n_occ") >= 2
     if cross_doc_only:
         dup_cond = dup_cond & (F.col("min_id") != F.col("max_id"))
-    dup = (
-        wins.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
+    hits = (
+        wins.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(wh).alias("n_occ"),
+            F.min("id").over(wh).alias("min_id"),
+            F.max("id").over(wh).alias("max_id"),
         )
         .filter(dup_cond)
-        .select("h")
+        .select("id", "pos")
     )
-    hits = wins.join(dup, "h").select("id", "pos")
-
-    from pyspark.sql import Window
 
     order = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + w).over(
@@ -736,10 +739,21 @@ def remove_duplicate_spans(
         F.struct(
             F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
         ),
+        # clamped walk: duplicate_spans output is disjoint by construction,
+        # but `spans` is a public parameter — overlapping caller spans would
+        # otherwise produce a NEGATIVE segment length (dropped text) AND a
+        # backward pos reset (duplicated text); greatest() clamps both, so
+        # arbitrary span sets get union-of-ranges semantics
         lambda st, sp: F.struct(
-            sp["span_end"].cast("long").alias("pos"),
+            F.greatest(sp["span_end"].cast("long"), st["pos"]).alias("pos"),
             F.concat(
-                st["acc"], t.substr(st["pos"], sp["span_start"] - st["pos"])
+                st["acc"],
+                t.substr(
+                    st["pos"],
+                    F.greatest(
+                        sp["span_start"].cast("long") - st["pos"], F.lit(0).cast("long")
+                    ),
+                ),
             ).alias("acc"),
         ),
         lambda st: F.concat(st["acc"], t.substr(st["pos"], F.length(t))),

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup_families import portable_hash60
+
 
 def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
     """Array of ``k`` bit positions in ``[0, m_bits)`` for a string value.
@@ -43,8 +45,11 @@ def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
         raise ValueError(f"k must be in [1, 8], got {k}")
     if m_bits < 64:
         raise ValueError(f"m_bits must be >= 64, got {m_bits}")
+    # h1 IS portable_hash60 (dedup_families.py) — same md5-hex-prefix
+    # construction, kept call-compatible so oracles share one formula;
+    # h2 takes the second 15-hex-digit half of the same digest
     hx = F.md5(value)
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    h1 = portable_hash60(value)
     h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
     return F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
@@ -131,7 +136,11 @@ def dedup_against_history_bloom(
     """
     key = "_bloom_key"
     nb = new_batch.withColumn(key, key_expr)
-    hist_keys = history.select(key_expr.alias(key)).distinct()
+    # persist the distinct keys: both the filter build (eager collect, runs
+    # now) and the rescue anti-join (lazy, runs when the caller acts)
+    # consume them, and the history scan + distinct shuffle is the most
+    # expensive step — without the persist it would run TWICE per ingest
+    hist_keys = history.select(key_expr.alias(key)).distinct().persist()
     words = bloom_words(hist_keys, key, m_bits, k)
     probed = bloom_probe(nb, key, words, m_bits, k)
     novel = probed.filter(~F.col("maybe_member"))

@@ -54,7 +54,10 @@ def scd2_history(
     w = Window.partitionBy(*key_cols).orderBy(*order)
     out = changelog.withColumn(valid_to_col, F.lead(version_cols[0]).over(w))
     if op_col is not None:
-        out = out.filter(F.col(op_col) != F.lit(delete_op))
+        # null-SAFE: a NULL op is an upsert, not a delete — a plain `!=`
+        # would evaluate NULL and silently drop the row's payload from
+        # history while its lead() still closed the predecessor's interval
+        out = out.filter(~F.col(op_col).eqNullSafe(delete_op))
     return (
         out.withColumn(valid_from_col, F.col(version_cols[0]))
         .withColumn(current_col, F.col(valid_to_col).isNull())
@@ -90,26 +93,38 @@ def asof_join(
     ``right_time`` must be unique per key in ``right`` (pre-fold the
     dimension with ``lww_latest`` if the feed can carry same-timestamp
     versions). Right payload columns land prefixed with ``right_prefix``;
-    rows with no as-of match keep NULLs. ``tolerance`` (an INTERVAL
-    Column) voids matches older than ``left_time - tolerance``.
+    rows with no as-of match keep NULLs. The matched row's payload is
+    carried AS A WHOLE (one struct): a genuinely-NULL payload column in
+    the matched dimension row comes through NULL — it is never back-filled
+    from an older row. ``tolerance`` (an INTERVAL Column) voids matches
+    older than ``left_time - tolerance``.
     """
     key = list(on)
     rpay = [c for c in right.columns if c not in key and c != right_time]
     lcols = [c for c in left.columns]
+    # the right payload travels as ONE struct (non-null for every right
+    # row, null padding on left rows): per-column last(ignorenulls) would
+    # skip a matched row's genuinely-NULL payload column and resurrect a
+    # STALE older value, leaving _matched_t and the payload columns
+    # describing different rows
+    rstruct = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rpay],
+    )
     r_side = right.select(
         *key,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        F.col(right_time).alias("_rt"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in rpay],
+        rstruct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key],
     )
     l_side = left.select(
         *key,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}") for c in rpay],
+        F.lit(None).cast(
+            right.select(rstruct).schema[0].dataType
+        ).alias("_r"),
         *[F.col(c) for c in lcols if c not in key],
     )
     w = (
@@ -118,15 +133,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_side.unionByName(l_side)
-    proj = [F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}") for c in rpay]
-    matched_t = F.last("_rt", ignorenulls=True).over(w)
+    matched = F.last("_r", ignorenulls=True).over(w)
     out = carried.select(
         *key,
         *[F.col(c) for c in lcols if c not in key],
         F.col("_side"),
-        matched_t.alias("_matched_t"),
-        *proj,
-    ).filter(F.col("_side") == 1)
+        matched.alias("_m"),
+    ).filter(F.col("_side") == 1).select(
+        *key,
+        *[F.col(c) for c in lcols if c not in key],
+        F.col("_side"),
+        F.col("_m._rt").alias("_matched_t"),
+        *[F.col(f"_m.{right_prefix}{c}").alias(f"{right_prefix}{c}") for c in rpay],
+    )
     if tolerance is not None:
         stale = F.col("_matched_t") < (F.col(left_time) - tolerance)
         out = out.select(

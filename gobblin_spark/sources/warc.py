@@ -177,10 +177,20 @@ def _parse_member(fid: int, blob: bytes) -> Iterator[tuple]:
         wtype = hdrs.get("warc-type", "")
         status, body = None, payload
         if wtype == "response" and payload[:5] == b"HTTP/":
-            he = payload.index(b"\r\n\r\n")
-            status_line = payload[: payload.index(_CRLF)].decode("ascii", "replace")
-            status = int(status_line.split(" ")[1])
-            body = payload[he + 4 :]
+            # degrade PER RECORD on a malformed HTTP block (truncated head,
+            # statusless line — real crawl archives contain both): keep the
+            # raw payload as body with status None rather than raising and
+            # killing the whole multi-GB member (row-level err philosophy,
+            # same as converters.chain_with_dlq)
+            try:
+                he = payload.index(b"\r\n\r\n")
+                status_line = payload[: payload.index(_CRLF)].decode(
+                    "ascii", "replace"
+                )
+                status = int(status_line.split(" ")[1])
+                body = payload[he + 4 :]
+            except (ValueError, IndexError):
+                status, body = None, payload
         yield (
             fid,
             wtype,

@@ -346,3 +346,20 @@ def test_remove_duplicate_spans_whole_doc_duplicate_goes_empty(spark):
         for r in remove_duplicate_spans(docs, window=10, stride=1).collect()
     }
     assert out[1] == "" and out[2] == ""
+
+
+def test_remove_spans_tolerates_overlapping_caller_spans(spark):
+    """Caller-supplied overlapping spans get union-of-ranges semantics —
+    no dropped text, no duplicated text."""
+    from gobblin_spark.operators.dedup_families import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "ABCDEFGHIJKLMNOPQRSTUVWXYZ")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 11), (1, 5, 16), (1, 20, 23)],  # [1,11) and [5,16) overlap
+        "doc_id long, span_start long, span_end long",
+    )
+    out = remove_duplicate_spans(docs, spans=spans).collect()[0]["clean_text"]
+    # union [1,16) removes A..O, [20,23) removes T,U,V
+    assert out == "PQRS" + "WXYZ"

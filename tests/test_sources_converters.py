@@ -267,3 +267,20 @@ def test_try_cast_field_nulls_instead_of_ansi_throw(spark):
     df = spark.createDataFrame([("12",), ("x",)], "s string")
     out = {r["s"]: r["n"] for r in try_cast_field("s", "long", "n")(df).collect()}
     assert out == {"12": 12, "x": None}
+
+
+def test_dlq_payload_snapshots_before_inplace_mutation(spark):
+    """An in-place converter (try_cast_field default alias) must not corrupt
+    the DLQ payload — the snapshot is taken before any stage runs."""
+    import json
+
+    from gobblin_spark.converters import chain_with_dlq, try_cast_field
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "oops")], "id long, v string")
+    good, dlq = chain_with_dlq(
+        df, [("cast", try_cast_field("v", "long"), lambda: F.col("v").isNull())]
+    )
+    assert good.count() == 0
+    row = dlq.collect()[0]
+    assert json.loads(row["_payload"]) == {"id": 1, "v": "oops"}

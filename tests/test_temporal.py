@@ -130,3 +130,35 @@ def test_sessionize_exact_gap_boundary_is_same_session(spark):
     )
     out = sessionize(ev, "uid", "ts", gap_minutes=30).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_asof_null_payload_column_is_not_backfilled(spark):
+    """A matched dimension row whose payload column is genuinely NULL must
+    come through NULL — never resurrect a STALE older value (the matched
+    row is carried as one struct, not per-column last-non-null)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "probe")], "uid long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 5.0),
+            (1, _ts("2024-01-01T11:00:00"), None),  # newest state: NULL
+        ],
+        "uid long, rts timestamp, state double",
+    )
+    out = asof_join(left, right, ["uid"], "ts", "rts").collect()[0]
+    assert out["_matched_t"] == _ts("2024-01-01T11:00:00")
+    assert out["r_state"] is None, "stale 5.0 must not leak through the NULL"
+
+
+def test_scd2_null_op_is_an_upsert_not_a_silent_drop(spark):
+    log = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:00:00"), 1, "U", 1.0),
+            ("a", _ts("2024-01-02T00:00:00"), 2, None, 2.0),  # NULL op
+        ],
+        "k string, ts timestamp, seq long, op string, v double",
+    )
+    out = {r["seq"]: r for r in scd2_history(log, ["k"], ["ts", "seq"], op_col="op").collect()}
+    assert set(out) == {1, 2}, "NULL op row must survive as an upsert"
+    assert out[2]["is_current"] and out[2]["v"] == 2.0

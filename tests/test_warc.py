@@ -73,3 +73,32 @@ def test_parse_plan_uses_mapinpandas_only(spark):
     # downstream column ops stay JVM-side on the parsed rows
     n = out.filter(F.col("warc_type") == "response").count()
     assert n == 1
+
+
+def test_malformed_http_block_degrades_per_record(spark):
+    """A truncated/statusless HTTP payload keeps the raw payload as body
+    with status None instead of killing the whole member."""
+    import pandas as pd
+    from gobblin_spark.sources.warc import _parse_member, build_warc_record
+
+    # well-formed neighbor + record whose HTTP block is truncated pre-\r\n\r\n
+    ok = build_warc_record("http://x/1", "2024-01-01T00:00:00Z", b"fine")
+    bad_http = b"HTTP/1.1 200 OK\r\nContent-Len"  # no header terminator
+    head = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/2\r\n"
+        b"Content-Length: " + str(len(bad_http)).encode() + b"\r\n\r\n"
+    )
+    statusless = b"HTTP/1.1\r\n\r\nbody"
+    head2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/3\r\n"
+        b"Content-Length: " + str(len(statusless)).encode() + b"\r\n\r\n"
+    )
+    blob = ok + head + bad_http + b"\r\n\r\n" + head2 + statusless + b"\r\n\r\n"
+    rows = list(_parse_member(0, blob))
+    by_uri = {r[2]: r for r in rows}
+    assert by_uri["http://x/1"][5] == 200 and bytes(by_uri["http://x/1"][6]) == b"fine"
+    assert by_uri["http://x/2"][5] is None
+    assert bytes(by_uri["http://x/2"][6]) == bad_http, "raw payload preserved"
+    assert by_uri["http://x/3"][5] is None
