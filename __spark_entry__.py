@@ -1925,6 +1925,55 @@ def q_docs_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=5)
 
 
+def q_docs_training_pipeline(spark, sf_dir):
+    """END-TO-END training-data export pipeline — the composition the
+    operator library exists for, checked as ONE contract: language gate
+    (marker-word lang_id == 'en') → quality gate (stopword ratio ≥ 3%) →
+    exact dedup (min-doc_id survivor per text md5) → per-source cap
+    (skew-safe top-5 by length) → token-budget shard packing (two-phase
+    distributed prefix sum, budget 4000). Every stage is individually
+    oracled elsewhere; THIS oracle chains their SQL forms into one CTE
+    pipeline, so stage INTERACTIONS (filters feeding dedup feeding cap
+    feeding packing order) are value-checked, not just the parts."""
+    from pyspark.sql import Window
+
+    from gobblin_spark.operators.sampling import pack_shards, top_k_per_group
+    from gobblin_spark.operators.textstats import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.join(lang_id(docs), "doc_id")
+        .join(quality_score(docs).select("doc_id", "n_tokens", "stopword_bp"), "doc_id")
+        .filter((F.col("lang_guess") == "en") & (F.col("stopword_bp") >= 300))
+    )
+    wdup = Window.partitionBy(F.md5(F.col("text")))
+    uniq = (
+        base.withColumn("_keep", F.min("doc_id").over(wdup))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    capped = top_k_per_group(
+        uniq, "source", 5, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    packed = pack_shards(
+        capped.withColumn("wt", F.length(F.col("text")).cast("long")),
+        "doc_id",
+        "wt",
+        budget=4000,
+    )
+    return (
+        capped.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(packed, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("weight").cast("long").alias("weight"),
+            F.col("shard_id").cast("long").alias("shard_id"),
+        )
+    )
+
+
 def q_docs_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: the new batch (doc_id % 4 = 0)
     anti-joined on a NORMALIZED content digest (sorted distinct token set —
@@ -2014,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_host_cap": q_docs_host_cap,
         "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
         "docs_tfidf_keywords": q_docs_tfidf_keywords,
+        "docs_training_pipeline": q_docs_training_pipeline,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
         # -- driver-green in r4, cheap --
@@ -3115,6 +3165,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts AS valid_from, valid_to,
                    (valid_to IS NULL) AS is_current, value, props
             FROM led WHERE op <> 'D'
+        """,
+        "docs_training_pipeline": """
+            WITH c AS (
+              SELECT doc_id, text, source, n_chars,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'the' OR x = 'a' OR x = 'and')) AS c_en,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'der' OR x = 'die' OR x = 'und')) AS c_de,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'le' OR x = 'la' OR x = 'et')) AS c_fr,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'el' OR x = 'los' OR x = 'y')) AS c_es,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'de' OR x = 'shi' OR x = 'le')) AS c_zh,
+                (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of'
+                      OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) * 10000)
+                  // len(regexp_split_to_array(trim(text), '\\s+')) AS sw_bp
+              FROM documents
+            ), langed AS (
+              SELECT *, CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                             WHEN c_de = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'de'
+                             WHEN c_en = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'en'
+                             WHEN c_es = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'es'
+                             WHEN c_fr = greatest(c_en,c_de,c_fr,c_es,c_zh) THEN 'fr'
+                             ELSE 'zh' END AS lang_guess
+              FROM c
+            ), base AS (
+              SELECT * FROM langed WHERE lang_guess = 'en' AND sw_bp >= 300
+            ), uniq AS (
+              SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                FROM base
+              ) WHERE doc_id = keep
+            ), capped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS rk
+                FROM uniq
+              ) WHERE rk <= 5
+            ), wts AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(length(text) AS BIGINT) AS wt,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM capped
+            ), pre AS (
+              SELECT doc_id, source, n_tokens, wt,
+                     coalesce(sum(wt) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM wts
+            )
+            SELECT doc_id, source, n_tokens, wt AS weight,
+                   CAST(prev // 4000 AS BIGINT) AS shard_id
+            FROM pre
         """,
         "docs_tfidf_keywords": """
             WITH toks AS (

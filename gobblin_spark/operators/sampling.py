@@ -115,9 +115,10 @@ def pack_shards(
         .select(
             F.col(id_col),
             F.col("_w").alias("weight"),
-            ((F.col("_prev") + F.col("_off")) / F.lit(budget))
-            .cast("long")
-            .alias("shard_id"),
+            # INTEGER floor division: double `/` then cast loses exactness
+            # once the global prefix weight passes 2^53 — real at the
+            # 100 TB corpus this packs; `div` stays in long arithmetic
+            F.expr(f"(_prev + _off) div {int(budget)}").alias("shard_id"),
         )
     )
 
