@@ -600,6 +600,122 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_cdc_hotkey_sketch(spark, sf_dir):
+    """Count-min hot-key detection (operators/sketches.py — the PLANNING
+    input to §2.2 skew handling / dedup.lww_salted): a 4x64 sketch of the
+    event keys is built as ONE map-side-combinable groupBy (<=256 counter
+    rows however many events), then every distinct key is estimated with
+    ZERO shuffle — counters ride the plan as a literal array, the probe is
+    min() over 4 codegen array lookups. width=64 is deliberately tiny so
+    real collision mass exists at contract scale: the oracle (which
+    rebuilds the EXACT counters from the same md5 double-hash positions in
+    SQL) checks every estimate collision-for-collision, and the CM
+    invariant est >= true (no under-count ever — why salting can trust the
+    sketch) is checked per key via the true counts carried alongside."""
+    from gobblin_spark.operators.sketches import cms_estimate, cms_table
+
+    depth, width = 4, 64
+    ev = _events(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    table = cms_table(ev, key, depth, width)
+    keys = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return cms_estimate(
+        keys.withColumn("_k", F.col("user_id").cast("string")),
+        "_k",
+        table,
+        depth,
+        width,
+    ).select("user_id", F.col("est_count").cast("long").alias("est_count"), "true_count")
+
+
+def q_docs_distinct_kmv(spark, sf_dir):
+    """K-minimum-values distinct-cardinality estimate (operators/
+    sketches.py — the join/bucket-strategy sizing input Spark's CBO reads
+    from column stats): the k=64 smallest portable 60-bit hashes of the
+    distinct document texts, executed as distinct + TakeOrdered (per-
+    partition top-k, never a full sort shuffle). The estimate's
+    floor((k-1)*2^60 / h_k) arithmetic is IEEE-double on exactly
+    representable operands, so the oracle reproduces it bit-for-bit and
+    the row also carries the true distinct count for the witness."""
+    from gobblin_spark.operators.sketches import kmv_estimate
+
+    k = 64
+    docs = _docs(spark, sf_dir)
+    key = F.coalesce(F.col("text"), F.lit(""))
+    est = kmv_estimate(docs, key, k=k)
+    truth = docs.agg(
+        F.countDistinct(key).cast("long").alias("true_distinct")
+    )
+    return est.crossJoin(truth)
+
+
+def q_cdc_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/
+    incremental_agg.py — the canonical CDC downstream consumer): a
+    per-event_type (count, sum) MV is bootstrapped from the shared
+    3-commit fixture's v1 state, then maintained v1→v2→v3 purely from
+    changes_between() deltas — update pre-images come from the v_from
+    read semi-joined to updated keys (bucket-pruned at scale), so a
+    group-migrating update decrements its old group and increments its
+    new one. The measure is floor(value*1000) LONG: integer sums are
+    order-independent, so the maintained MV is bit-identical to a
+    from-scratch recompute. The oracle never sees the increments — it
+    refolds the FULL event history with a window and aggregates the
+    final visible state directly."""
+    from gobblin_spark.lake import SnapshotTable
+    from gobblin_spark.operators.incremental_agg import maintain, mv_compute
+
+    t = SnapshotTable(spark, _uid_3commit_fixture(spark, sf_dir))
+    measures = {"mv_sum_milli": F.floor(F.col("value") * 1000)}
+    mv = mv_compute(t.read(at_version=1), ["event_type"], measures)
+    for v_from, v_to in [(1, 2), (2, 3)]:
+        mv = maintain(
+            mv,
+            t.changes_between(v_from, v_to),
+            t.read(at_version=v_from),
+            ["user_id"],
+            ["event_type"],
+            measures,
+        )
+    return mv.select(
+        "event_type",
+        F.col("mv_count").cast("long").alias("mv_count"),
+        F.col("mv_sum_milli").cast("long").alias("mv_sum_milli"),
+    )
+
+
+# epoch micros of naive 2027-01-01 00:00:00 — a fixed "now" safely past
+# every generated event at any sf, so overdue rankings are deterministic
+_RECRAWL_ASOF_US = 1_798_761_600 * 1_000_000
+
+
+def q_cdc_crawl_schedule(spark, sf_dir):
+    """Change-rate recrawl scheduling (operators/temporal.py
+    recrawl_schedule — the crawl-frequency feedback loop a web-scale CDC
+    ingest closes, Cho & Garcia-Molina's uniform-rate refresh policy):
+    per key, observed change cadence (span DIV (n-1)) and how overdue a
+    re-fetch is at a fixed asof, in EXACT integer arithmetic (floats
+    tie-break differently across libm builds; integer division cannot).
+    One map-side-combinable groupBy; output is key-cardinality. The
+    oracle reproduces the epoch/us arithmetic with epoch_us and BIGINT
+    floor division."""
+    from gobblin_spark.operators.temporal import recrawl_schedule
+
+    out = recrawl_schedule(
+        _events(spark, sf_dir), "user_id", "ts", asof_us=_RECRAWL_ASOF_US
+    )
+    return out.select(
+        "user_id",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        "first_us",
+        "last_us",
+        "mean_gap_us",
+        "overdue_e3",
+    )
+
+
 def q_cdc_bootstrap_handoff(spark, sf_dir):
     """Initial-load → incremental handoff (the day-0 shape of every CDC
     pipeline: a full source snapshot bootstraps the table, then the
@@ -2066,6 +2182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_pipeline": q_docs_training_pipeline,
         "cdc_asof_enrich": q_cdc_asof_enrich,
         "events_sessionize": q_events_sessionize,
+        "cdc_hotkey_sketch": q_cdc_hotkey_sketch,
+        "docs_distinct_kmv": q_docs_distinct_kmv,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_crawl_schedule": q_cdc_crawl_schedule,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3355,6 +3475,99 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events
             FROM labeled GROUP BY user_id, session_seq
+        """,
+        # rebuilds the EXACT 4x64 counter matrix from the same md5
+        # double-hash positions, then min()s over the 4 probes — every
+        # collision must agree with the Spark plan-literal lookup
+        "cdc_hotkey_sketch": """
+            WITH pos AS (
+              SELECT t.i AS row_idx,
+                     (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                      + t.i * ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 15))::BIGINT)
+                     % 64 AS col_idx
+              FROM events, unnest([0, 1, 2, 3]) AS t(i)
+            ), counters AS (
+              SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+              FROM pos GROUP BY row_idx, col_idx
+            ), keys AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+              FROM events GROUP BY user_id
+            ), probe AS (
+              SELECT k.user_id, t.i AS row_idx,
+                     (('0x' || substr(md5(CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT
+                      + t.i * ('0x' || substr(md5(CAST(k.user_id AS VARCHAR)), 17, 15))::BIGINT)
+                     % 64 AS col_idx
+              FROM keys k, unnest([0, 1, 2, 3]) AS t(i)
+            ), est AS (
+              SELECT p.user_id, min(coalesce(c.cnt, 0)) AS est_count
+              FROM probe p LEFT JOIN counters c USING (row_idx, col_idx)
+              GROUP BY p.user_id
+            )
+            SELECT k.user_id, e.est_count, k.true_count
+            FROM keys k JOIN est e USING (user_id)
+        """,
+        # (k-1)*2^60 and h_k are exactly representable doubles, so the
+        # floored quotient is engine-portable IEEE arithmetic
+        "docs_distinct_kmv": """
+            WITH h AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS h
+              FROM documents
+            ), topk AS (
+              SELECT h FROM h ORDER BY h LIMIT 64
+            ), sk AS (
+              SELECT CAST(count(*) AS BIGINT) AS k_used,
+                     max(h) AS kth_hash
+              FROM topk
+            )
+            SELECT k_used, kth_hash,
+                   CAST(CASE WHEN k_used < 64 THEN k_used
+                        ELSE floor((63::DOUBLE * 1152921504606846976::DOUBLE)
+                                   / kth_hash::DOUBLE) END AS BIGINT)
+                     AS est_distinct,
+                   (SELECT CAST(count(DISTINCT coalesce(text, '')) AS BIGINT)
+                    FROM documents) AS true_distinct
+            FROM sk
+        """,
+        # the oracle never sees the v1→v2→v3 increments: it refolds the
+        # FULL history (the fixture's LWW axis: ts, then event_id) and
+        # aggregates the final visible state directly
+        "cdc_incremental_agg": f"""
+            WITH latest AS (
+              SELECT * FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+              ) WHERE rn = 1 AND event_type <> '{DELETE_TYPE}'
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS mv_count,
+                   CAST(coalesce(sum(CAST(floor(value * 1000) AS BIGINT)), 0)
+                        AS BIGINT) AS mv_sum_milli
+            FROM latest GROUP BY event_type
+        """,
+        # epoch_us on naive timestamps == the Spark NTZ timestamp_diff;
+        # // on positive BIGINTs == Spark's div
+        "cdc_crawl_schedule": f"""
+            WITH agg AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_changes,
+                     epoch_us(min(ts)) AS first_us,
+                     epoch_us(max(ts)) AS last_us
+              FROM events GROUP BY user_id
+            ), cad AS (
+              SELECT *,
+                CASE WHEN n_changes >= 2 AND last_us > first_us
+                     THEN nullif((last_us - first_us) // (n_changes - 1), 0) END
+                  AS mean_gap_us
+              FROM agg
+            )
+            SELECT user_id, n_changes, first_us, last_us, mean_gap_us,
+                   CASE WHEN mean_gap_us IS NOT NULL
+                        THEN (({_RECRAWL_ASOF_US} - last_us) * 1000) // mean_gap_us
+                   END AS overdue_e3
+            FROM cad
         """,
         "docs_dup_spans": """
             WITH wins AS (

@@ -201,3 +201,61 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def recrawl_schedule(
+    changelog: DataFrame,
+    key_col: str,
+    ts_col: str,
+    asof_us: int,
+    min_changes: int = 2,
+) -> DataFrame:
+    """Change-rate recrawl scheduling — the crawl-frequency feedback loop
+    a web-scale CDC ingest closes: from each url's observed change
+    history, estimate its change cadence and rank how overdue a re-fetch
+    is at ``asof_us`` (epoch micros). The Common Crawl analogue of
+    Cho & Garcia-Molina's "Effective Page Refresh Policies" — the
+    uniform-change-rate estimator, kept in EXACT integer arithmetic so
+    the ranking is engine-portable (float rates tie-break differently
+    across libm builds; integer division cannot).
+
+    Per key with >= min_changes observed changes:
+    - ``n_changes``, ``first_us``/``last_us`` (epoch micros),
+    - ``mean_gap_us`` = (last - first) DIV (n - 1)  — observed cadence,
+    - ``overdue_e3``  = (asof - last) * 1000 DIV mean_gap_us — elapsed
+      idle time in units of the key's own cadence, scaled by 1000
+      (an overdue_e3 of 2500 means 2.5 expected missed changes).
+      Keys changing often and silent long rank first.
+
+    Keys seen fewer than min_changes times carry NULL cadence/overdue —
+    the cold-start set a scheduler handles by policy, not estimate.
+
+    One map-side-combinable groupBy on the key; overflow-safe for spans
+    up to ~292 years ((asof-last) <= 2^53 us, * 1000 < 2^63).
+
+    Scale shape: output is key-cardinality; the scheduler consumes the
+    top-k overdue (orderBy+limit = TakeOrdered, no full sort)."""
+    if min_changes < 2:
+        raise ValueError(f"min_changes must be >= 2, got {min_changes}")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    agg = changelog.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+    est = F.col("n_changes") >= min_changes
+    span = F.col("last_us") - F.col("first_us")
+    # nullif: a span shorter than n-1 micros floors to cadence 0 — treat
+    # as unknown rather than divide overdue by zero (ANSI mode throws)
+    mean_gap = F.when(
+        est & (span > 0),
+        F.expr("nullif((last_us - first_us) div (n_changes - 1), 0)"),
+    )
+    return agg.withColumn("mean_gap_us", mean_gap).withColumn(
+        "overdue_e3",
+        F.expr(f"(({int(asof_us)} - last_us) * 1000) div mean_gap_us"),
+    )

@@ -162,3 +162,42 @@ def test_scd2_null_op_is_an_upsert_not_a_silent_drop(spark):
     out = {r["seq"]: r for r in scd2_history(log, ["k"], ["ts", "seq"], op_col="op").collect()}
     assert set(out) == {1, 2}, "NULL op row must survive as an upsert"
     assert out[2]["is_current"] and out[2]["v"] == 2.0
+
+
+def test_recrawl_schedule_integer_cadence_and_overdue(spark):
+    from gobblin_spark.operators.temporal import recrawl_schedule
+
+    # url A: changes at t=0,10,20,30s (gap 10s); url B: t=0,40s (gap 40s);
+    # url C: seen once -> cold start, NULL cadence/overdue.
+    rows = [("A", 0), ("A", 10), ("A", 20), ("A", 30), ("B", 0), ("B", 40), ("C", 5)]
+    log = spark.createDataFrame(
+        [(u, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)) for u, s in rows],
+        "url string, ts timestamp",
+    )
+    # epoch micros of 2026-01-01 under NAIVE (NTZ) semantics:
+    epoch = dt.datetime(1970, 1, 1)
+    base_us = int((dt.datetime(2026, 1, 1) - epoch).total_seconds()) * 1_000_000
+    asof = base_us + 100 * 1_000_000  # 100s after t=0
+    out = {
+        r["url"]: r
+        for r in recrawl_schedule(log, "url", "ts", asof_us=asof).collect()
+    }
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_changes"], a["mean_gap_us"]) == (4, 10_000_000)
+    # A idle 70s at cadence 10s -> 7000 expected-missed-e3
+    assert a["overdue_e3"] == 7000
+    assert (b["n_changes"], b["mean_gap_us"]) == (2, 40_000_000)
+    assert b["overdue_e3"] == 1500  # idle 60s / 40s cadence
+    assert c["mean_gap_us"] is None and c["overdue_e3"] is None
+    # the scheduler's ranking: A (hot+silent) before B
+    assert a["overdue_e3"] > b["overdue_e3"]
+
+
+def test_recrawl_schedule_rejects_min_changes_below_two(spark):
+    import pytest as _pytest
+
+    from gobblin_spark.operators.temporal import recrawl_schedule
+
+    log = spark.createDataFrame([("A", dt.datetime(2026, 1, 1))], "url string, ts timestamp")
+    with _pytest.raises(ValueError):
+        recrawl_schedule(log, "url", "ts", asof_us=0, min_changes=1)
