@@ -686,6 +686,29 @@ def q_cdc_incremental_agg(spark, sf_dir):
     )
 
 
+def q_docs_quality_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (operators/quantiles.py — the
+    calibration step of quality gating: per-language thresholds like
+    'top quartile by length'): type-1 quantiles of n_chars per lang at
+    p25/p50/p75/p95/max, rank = ceil(p_bp*n/10000) in pure BIGINT so the
+    value is bit-identical on any engine (approx sketches disagree in
+    the tails — exactly where gating thresholds live). One shuffle on
+    the group key, one window pass; output |groups| x |ps| rows. The
+    oracle reproduces rank arithmetic with row_number + ceil division."""
+    from gobblin_spark.operators.quantiles import group_quantiles
+
+    out = group_quantiles(
+        _docs(spark, sf_dir), ["lang"], "n_chars",
+        [2500, 5000, 7500, 9500, 10000],
+    )
+    return out.select(
+        "lang",
+        F.col("p_bp").cast("long").alias("p_bp"),
+        F.col("value").cast("long").alias("value"),
+        "n_values",
+    )
+
+
 # epoch micros of naive 2027-01-01 00:00:00 — a fixed "now" safely past
 # every generated event at any sf, so overdue rankings are deterministic
 _RECRAWL_ASOF_US = 1_798_761_600 * 1_000_000
@@ -2186,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_distinct_kmv": q_docs_distinct_kmv,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_crawl_schedule": q_cdc_crawl_schedule,
+        "docs_quality_quantiles": q_docs_quality_quantiles,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3546,6 +3570,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CAST(floor(value * 1000) AS BIGINT)), 0)
                         AS BIGINT) AS mv_sum_milli
             FROM latest GROUP BY event_type
+        """,
+        # row_number ties share the ranked value, so the value at rank
+        # ceil(p_bp*n/10000) is deterministic on both engines
+        "docs_quality_quantiles": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                       AS rn,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_values
+              FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT lang, CAST(p.p AS BIGINT) AS p_bp,
+                   CAST(n_chars AS BIGINT) AS value, n_values
+            FROM ranked, unnest([2500, 5000, 7500, 9500, 10000]) AS p(p)
+            WHERE rn = (p.p * n_values + 9999) // 10000
         """,
         # epoch_us on naive timestamps == the Spark NTZ timestamp_diff;
         # // on positive BIGINTs == Spark's div

@@ -159,3 +159,41 @@ def test_maintained_mv_tracks_snapshot_table_changelog(spark, tmp_path):
         direct = mv_compute(t.read(at_version=v_to), ["grp"], _measures())
         assert _mv_dict(mv) == _mv_dict(direct), f"v{v_from}->v{v_to}"
     assert _mv_dict(mv) == {"x": (1, 11), "y": (2, 61)}
+
+
+def test_mv_tracks_engine_commits(spark, tmp_path):
+    """Composition with the REAL ingest loop: the engine replays a
+    changelog in multiple fenced batches; an MV maintained from each
+    commit's changes_between window equals the from-scratch aggregate of
+    the final table — the downstream-consumer story end to end."""
+    import os
+
+    from gobblin_spark.engine import CdcEngine
+    from helpers import setup_pipeline
+
+    pages, clog, table, eng = setup_pipeline(spark, str(tmp_path))
+    v0 = table.version
+    eng.run(os.path.join(str(tmp_path), "changelog"), max_events_per_batch=80)
+    head = SnapshotTable(spark, table.root)
+
+    measures = {"mv_n": F.length(F.coalesce(F.col("text"), F.lit("")))}
+    # bootstrap empty MV at v0, then fold every commit's net window
+    mv = mv_compute(head.read(at_version=v0), ["lang"], measures)
+    versions = [v0] + [
+        v for v in range(v0 + 1, head.version + 1)
+    ]
+    for v_from, v_to in zip(versions, versions[1:]):
+        mv = maintain(
+            mv,
+            head.changes_between(v_from, v_to),
+            head.read(at_version=v_from),
+            ["url"],
+            ["lang"],
+            measures,
+        )
+    direct = mv_compute(head.read(at_version=head.version), ["lang"], measures)
+    assert _mv_dict2(mv, "lang", "mv_n") == _mv_dict2(direct, "lang", "mv_n")
+
+
+def _mv_dict2(df, g, m):
+    return {r[g]: (r["mv_count"], r[m]) for r in df.collect()}
