@@ -686,6 +686,61 @@ def q_cdc_incremental_agg(spark, sf_dir):
     )
 
 
+def q_events_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout stats (operators/layout.py — the
+    multi-dim file-clustering rail complementing the lake's single-dim
+    sort orders, Iceberg RewriteDataFiles ZORDER analogue): events keyed
+    by (user_id mod 2^16, epoch-seconds mod 2^16) interleave into a
+    16-bit Morton code; the top-6-bit prefix is the deterministic file
+    bucket, and the per-bucket bounding boxes (what manifest column
+    stats would record after the clustered write) witness the pruning
+    property — every bucket's x-span and y-span are bounded, so a
+    predicate on EITHER column prunes. Pure codegen bit arithmetic,
+    zero shuffle before the <=64-row aggregate; the oracle rebuilds the
+    interleave bit-for-bit in SQL."""
+    from gobblin_spark.operators.layout import zorder_stats
+
+    ev = _events(spark, sf_dir)
+    x = F.pmod(F.col("user_id"), F.lit(1 << 16))
+    y = F.pmod(
+        F.timestamp_diff("SECOND", _epoch_ntz(), F.col("ts").cast("timestamp_ntz")),
+        F.lit(1 << 16),
+    )
+    out = zorder_stats(ev, x, y, bits=16, prefix_bits=6)
+    return out.select(
+        F.col("z_bucket").cast("long").alias("z_bucket"),
+        "n_rows",
+        F.col("min_x").cast("long").alias("min_x"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.col("min_y").cast("long").alias("min_y"),
+        F.col("max_y").cast("long").alias("max_y"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB replica of the 16-bit Morton interleave + top-6-bit bucket
+    + per-bucket bounding boxes, built term-by-term so the bit layout is
+    visibly identical to layout.z_value."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+        WITH pts AS (
+          SELECT user_id % 65536 AS x,
+                 (epoch_us(ts) // 1000000) % 65536 AS y
+          FROM events
+        ), zed AS (
+          SELECT x, y, ({z}) >> 26 AS z_bucket FROM pts
+        )
+        SELECT z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM zed GROUP BY z_bucket
+    """
+
+
 def q_docs_quality_quantiles(spark, sf_dir):
     """Exact per-group quantiles (operators/quantiles.py — the
     calibration step of quality gating: per-language thresholds like
@@ -2210,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_crawl_schedule": q_cdc_crawl_schedule,
         "docs_quality_quantiles": q_docs_quality_quantiles,
+        "events_zorder_layout": q_events_zorder_layout,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3571,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS mv_sum_milli
             FROM latest GROUP BY event_type
         """,
+        "events_zorder_layout": _zorder_oracle_sql(),
         # row_number ties share the ranked value, so the value at rank
         # ceil(p_bp*n/10000) is deterministic on both engines
         "docs_quality_quantiles": """
