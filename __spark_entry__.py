@@ -741,6 +741,27 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def q_docs_shuffle_export(spark, sf_dir):
+    """Deterministic seeded training-export shuffle (operators/
+    sampling.py seeded_shuffle_shards): documents land in a reproducible
+    pseudo-random order — shard = portable_hash60(seed|doc_id) mod 16,
+    in-shard position = rank by (hash, key) — re-derivable from (seed,
+    corpus) alone on any engine. A global shuffle WITHOUT a global sort:
+    one exchange on the shard id, per-shard independent sorts. The
+    oracle reproduces the md5 hash rail and the rank in SQL."""
+    from gobblin_spark.operators.sampling import seeded_shuffle_shards
+
+    out = seeded_shuffle_shards(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("k")),
+        "k", n_shards=16, seed=42,
+    )
+    return out.select(
+        F.col("k").cast("long").alias("doc_id"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "shard_pos",
+    )
+
+
 def q_docs_quality_quantiles(spark, sf_dir):
     """Exact per-group quantiles (operators/quantiles.py — the
     calibration step of quality gating: per-language thresholds like
@@ -2266,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_crawl_schedule": q_cdc_crawl_schedule,
         "docs_quality_quantiles": q_docs_quality_quantiles,
         "events_zorder_layout": q_events_zorder_layout,
+        "docs_shuffle_export": q_docs_shuffle_export,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3628,6 +3650,19 @@ def oracle_sql() -> dict[str, str]:
             FROM latest GROUP BY event_type
         """,
         "events_zorder_layout": _zorder_oracle_sql(),
+        "docs_shuffle_export": """
+            WITH hashed AS (
+              SELECT doc_id,
+                ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents
+            )
+            SELECT doc_id, h % 16 AS shard_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY h % 16
+                     ORDER BY h, CAST(doc_id AS VARCHAR)) AS BIGINT)
+                     AS shard_pos
+            FROM hashed
+        """,
         # row_number ties share the ranked value, so the value at rank
         # ceil(p_bp*n/10000) is deterministic on both engines
         "docs_quality_quantiles": """

@@ -171,3 +171,42 @@ def top_k_per_group(
         rank_col or "_grk", F.row_number().over(final)
     ).filter(F.col(rank_col or "_grk") <= k)
     return out if rank_col else out.drop("_grk")
+
+
+def seeded_shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard_id",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards — the
+    export-order rail of an LLM data pipeline: training wants documents
+    in a reproducible pseudo-random order, re-derivable months later
+    from (seed, corpus) alone, never an engine's partition-iteration
+    accident.
+
+    shard = portable_hash60(seed|key) mod n_shards; position within the
+    shard = rank by (hash, key). Because the hash is the md5-derived
+    portable rail shared by every operator here, a different engine (or
+    the same corpus re-exported next quarter) reproduces the byte order
+    exactly — and changing the seed is a full reshuffle.
+
+    Scale shape: this is a global shuffle done WITHOUT a global sort —
+    one exchange on the shard id, then each shard sorts independently
+    (shards are the parallel unit; pick n_shards from target shard
+    size). No driver-side state, no sampled range boundaries.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = portable_hash60(
+        F.concat(F.lit(f"{int(seed)}|"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), F.col(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, F.pmod(F.col("_h"), F.lit(int(n_shards))))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

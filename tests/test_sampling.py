@@ -139,3 +139,33 @@ def test_top_k_per_group_small_groups_pass_through(spark):
     )
     out = top_k_per_group(df, "g", 10, [F.col("s").desc(), F.col("id")])
     assert out.count() == 3 and "_grk" not in out.columns and "_lrk" not in out.columns
+
+
+def test_seeded_shuffle_matches_python_reference(spark):
+    import hashlib
+
+    from gobblin_spark.operators.sampling import seeded_shuffle_shards
+
+    keys = [f"doc-{i}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    out = {
+        r["k"]: (r["shard_id"], r["shard_pos"])
+        for r in seeded_shuffle_shards(df, "k", n_shards=8, seed=42).collect()
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_shard = {}
+    for k in keys:
+        by_shard.setdefault(h60(f"42|{k}") % 8, []).append(k)
+    for sid, members in by_shard.items():
+        members.sort(key=lambda k: (h60(f"42|{k}"), k))
+        for pos, k in enumerate(members, 1):
+            assert out[k] == (sid, pos), k
+    # positions are contiguous 1..n per shard and the seed reshuffles
+    out2 = {
+        r["k"]: (r["shard_id"], r["shard_pos"])
+        for r in seeded_shuffle_shards(df, "k", n_shards=8, seed=43).collect()
+    }
+    assert out2 != out
