@@ -3697,6 +3697,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, n_changes, first_us, last_us, mean_gap_us,
                    CASE WHEN mean_gap_us IS NOT NULL
+                             AND last_us <= {_RECRAWL_ASOF_US}
                         THEN (({_RECRAWL_ASOF_US} - last_us) * 1000) // mean_gap_us
                    END AS overdue_e3
             FROM cad

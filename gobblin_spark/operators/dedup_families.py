@@ -60,6 +60,25 @@ def portable_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def double_hash_positions(value: Column, k: int, modulus: int) -> Column:
+    """The SHARED Kirsch–Mitzenmacher rail: array of ``k`` positions in
+    ``[0, modulus)`` — position i = (h1 + i·h2) mod modulus, where h1/h2
+    are the two 60-bit md5 halves (h1 IS portable_hash60, so every
+    consumer and every SQL oracle shares ONE formula). Used by the Bloom
+    filter (membership.py) and the count-min sketch (sketches.py);
+    purely codegen. k <= 8 keeps h1 + 7·h2 < 2^63 on both engines."""
+    if k < 1 or k > 8:
+        raise ValueError(f"k must be in [1, 8], got {k}")
+    if modulus < 2:
+        raise ValueError(f"modulus must be >= 2, got {modulus}")
+    hx = F.md5(value)
+    h1 = portable_hash60(value)
+    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(modulus)) for i in range(k)]
+    )
+
+
 def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     rnd = random.Random(seed)
     return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(k)]

@@ -24,14 +24,18 @@ Inputs are plain DataFrames so the operator composes with any feed:
   delete carries the last-visible v_from image (lake.py:1190).
 - ``prev_state``: the v_from table read, needed ONLY for update
   pre-images; it is semi-joined down to the updated keys before any
-  aggregation, so with the lake's manifest-diff pruning the cost is
-  O(changed buckets), never O(table).
+  aggregation. NOTE the semi-join filters rows but cannot shrink the
+  SCAN — the caller owns that lever: pass a bucket-pruned read
+  (``table.read(buckets=touched, at_version=v_from)`` with the touched
+  buckets derived from the same manifest diff changes_between prunes
+  by) to make the step O(changed buckets); a plain read is O(table)
+  per step.
 
 Scale shape: both legs collapse to per-group partial aggregates before
-the single groupBy shuffle (map-side combine); the MV merge is a full
-outer join on the group key — the MV side is itself group-cardinality
-(small), so AQE broadcasts it in practice. Nothing iterates on the
-driver; no Python UDFs.
+the single groupBy shuffle (map-side combine); the MV merge is a
+union + grouped sum on the group key (null-safe by construction) over
+two group-cardinality inputs — a single small exchange. Nothing
+iterates on the driver; no Python UDFs.
 
 Measures must be exact-typed (long / decimal) for the maintained MV to
 be bit-identical to a from-scratch recompute: float sums are
@@ -109,20 +113,19 @@ def mv_delta(
 def mv_apply(
     mv: DataFrame, delta: DataFrame, group_cols: list[str], measure_names: list[str]
 ) -> DataFrame:
-    """Merge a per-group delta into the previous MV: full outer join on
-    the group key, coalesce-add each measure, drop groups whose count
-    reaches zero (count can never go negative on a consistent feed)."""
+    """Merge a per-group delta into the previous MV: union + one grouped
+    sum (NOT an outer join — join keys are null-UNSAFE in Spark, so a
+    NULL group in both sides would split into two rows instead of
+    merging; groupBy treats NULL as an ordinary group value, matching
+    mv_compute). Groups whose count reaches zero are dropped (count can
+    never go negative on a consistent feed)."""
     cols = ["mv_count", *measure_names]
-    d = delta.select(*group_cols, *[F.col(c).alias(f"_d_{c}") for c in cols])
-    merged = mv.join(d, group_cols, "full_outer")
-    for c in cols:
-        merged = merged.withColumn(
-            c,
-            (
-                F.coalesce(F.col(c), F.lit(0))
-                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-            ).cast("long"),
-        )
+    merged = (
+        mv.select(*group_cols, *cols)
+        .unionByName(delta.select(*group_cols, *cols))
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+    )
     return merged.filter(F.col("mv_count") > 0).select(*group_cols, *cols)
 
 

@@ -105,18 +105,28 @@ def zorder_repartition(
     bits: int = 16,
     prefix_bits: int = 6,
 ) -> DataFrame:
-    """Cluster rows for a z-ordered write: one exchange on the prefix
-    bucket, rows sorted by full z within each output task so parquet
-    row-group stats stay tight too. The caller writes the result with
-    its usual writer; bucket count = 2^prefix_bits files (pick
-    prefix_bits from the target file size)."""
+    """Cluster rows for a z-ordered write: one RANGE exchange on
+    (bucket, z), rows sorted by full z within each output task so
+    parquet row-group stats stay tight too. The caller writes the result
+    with its usual writer.
+
+    Range, NOT hash: ``repartition(n, bucket)`` would place buckets by
+    murmur3-hash collisions — ~1/e of files empty and files mixing
+    NON-adjacent buckets, whose merged min/max stats span the whole
+    domain and prune nothing. Range partitioning keeps every output
+    task a CONTIGUOUS z run: a file's bounding box is the union of
+    ADJACENT prefix boxes, which is exactly the locality Morton order
+    exists to provide (Iceberg's ZORDER rewrite makes the same
+    sort-then-split choice). Boundaries come from Spark's range
+    sampler — balanced by construction; for the bit-exact DETERMINISTIC
+    assignment (stats, pruning proofs, oracles) use z_prefix_bucket."""
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
     z = z_value(x, y, bits)
     return (
         df.withColumn("_z", z)
         .withColumn("_z_bucket", z_prefix_bucket(F.col("_z"), bits, prefix_bits))
-        .repartition(1 << prefix_bits, "_z_bucket")
+        .repartitionByRange(1 << prefix_bits, "_z_bucket", "_z")
         .sortWithinPartitions("_z")
         .drop("_z", "_z_bucket")
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_families import portable_hash60
+from .dedup_families import double_hash_positions
 
 
 def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
@@ -41,19 +41,12 @@ def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
     Double hashing from the two 60-bit halves of md5: pos_i =
     (h1 + i·h2) mod m. With k ≤ 8 the accumulator stays < 2^63 — no
     overflow on either engine. Purely codegen (md5 + conv + pmod)."""
-    if k < 1 or k > 8:
-        raise ValueError(f"k must be in [1, 8], got {k}")
     if m_bits < 64:
         raise ValueError(f"m_bits must be >= 64, got {m_bits}")
-    # h1 IS portable_hash60 (dedup_families.py) — same md5-hex-prefix
-    # construction, kept call-compatible so oracles share one formula;
-    # h2 takes the second 15-hex-digit half of the same digest
-    hx = F.md5(value)
-    h1 = portable_hash60(value)
-    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
-    return F.array(
-        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
-    )
+    # delegates to the ONE shared Kirsch–Mitzenmacher rail (h1 IS
+    # portable_hash60, h2 the second 15-hex-digit md5 half) so the Bloom
+    # filter, the count-min sketch, and every SQL oracle stay in sync
+    return double_hash_positions(value, k, m_bits)
 
 
 def bloom_build(

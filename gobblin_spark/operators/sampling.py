@@ -193,6 +193,12 @@ def seeded_shuffle_shards(
     the same corpus re-exported next quarter) reproduces the byte order
     exactly — and changing the seed is a full reshuffle.
 
+    CONTRACT: ``key_col`` must uniquely identify rows (a document id).
+    Rows sharing a key value share the sort tuple, and row_number breaks
+    that tie arbitrarily — positions among duplicates would then vary by
+    run/engine, which is exactly what this operator exists to prevent.
+    Dedup first (the pipeline's exact-dedup stage) or key by a unique id.
+
     Scale shape: this is a global shuffle done WITHOUT a global sort —
     one exchange on the shard id, then each shard sorts independently
     (shards are the parallel unit; pick n_shards from target shard

@@ -39,27 +39,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_families import portable_hash60
+from .dedup_families import double_hash_positions, portable_hash60
 
-# Column-index hashes reuse the md5 split of membership.bloom_positions:
-# h1 = first 15 hex digits (== portable_hash60), h2 = next 15. With
-# depth <= 8 the accumulator h1 + i*h2 stays < 2^63 on both engines.
 _MAX_DEPTH = 8
 
 
 def cms_positions(value: Column, depth: int, width: int) -> Column:
     """Array of ``depth`` column indices in ``[0, width)`` for a string
-    value — row i probes column (h1 + i*h2) mod width. Purely codegen."""
+    value — row i probes column (h1 + i*h2) mod width. Delegates to the
+    ONE shared Kirsch–Mitzenmacher rail (dedup_families.
+    double_hash_positions) so the sketch, the Bloom filter, and every
+    SQL oracle stay in sync. Purely codegen."""
     if depth < 1 or depth > _MAX_DEPTH:
         raise ValueError(f"depth must be in [1, {_MAX_DEPTH}], got {depth}")
-    if width < 2:
-        raise ValueError(f"width must be >= 2, got {width}")
-    hx = F.md5(value)
-    h1 = portable_hash60(value)
-    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
-    return F.array(
-        *[F.pmod(h1 + F.lit(i) * h2, F.lit(width)) for i in range(depth)]
-    )
+    return double_hash_positions(value, depth, width)
 
 
 def cms_build(
@@ -109,16 +102,11 @@ def cms_estimate(
         )
     value = F.col(col) if isinstance(col, str) else col
     tarr = F.lit(table)
-    hx = F.md5(value)
-    h1 = portable_hash60(value)
-    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+    pos = cms_positions(value, depth, width)
     lookups = [
         F.element_at(
             tarr,
-            (F.lit(i * width) + F.pmod(h1 + F.lit(i) * h2, F.lit(width))).cast(
-                "int"
-            )
-            + 1,
+            (F.lit(i * width) + F.element_at(pos, i + 1)).cast("int") + 1,
         )
         for i in range(depth)
     ]
@@ -161,8 +149,13 @@ def kmv_build(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     value = F.col(col) if isinstance(col, str) else col
+    # NULL values hash to NULL and must be excluded BEFORE the top-k:
+    # Spark sorts NULLS FIRST ascending (a NULL would usurp a bottom-k
+    # slot and skew the estimate by ~k/(k-1)), DuckDB sorts NULLS LAST —
+    # the filter keeps the kept set identical on both engines
     return (
         df.select(portable_hash60(value).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)

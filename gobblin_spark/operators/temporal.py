@@ -255,7 +255,13 @@ def recrawl_schedule(
         est & (span > 0),
         F.expr("nullif((last_us - first_us) div (n_changes - 1), 0)"),
     )
+    # asof must not precede last_us: Spark's `div` truncates toward zero
+    # while SQL floor-division (//) floors, so a negative idle span would
+    # diverge across engines — guard to NULL (the key isn't overdue)
     return agg.withColumn("mean_gap_us", mean_gap).withColumn(
         "overdue_e3",
-        F.expr(f"(({int(asof_us)} - last_us) * 1000) div mean_gap_us"),
+        F.when(
+            F.lit(asof_us) >= F.col("last_us"),
+            F.expr(f"(({int(asof_us)} - last_us) * 1000) div mean_gap_us"),
+        ),
     )

@@ -197,3 +197,16 @@ def test_mv_tracks_engine_commits(spark, tmp_path):
 
 def _mv_dict2(df, g, m):
     return {r[g]: (r["mv_count"], r[m]) for r in df.collect()}
+
+
+def test_null_group_merges_not_splits(spark):
+    """Regression: mv_apply must merge a NULL group's delta into the
+    existing NULL-group row (an outer join's null-unsafe keys would
+    split them into two rows / strand deletes forever)."""
+    prev = _state(spark, [(1, None, 10), (2, "b", 20)])
+    mv1 = mv_compute(prev, ["grp"], _measures())
+    changes = _changes(spark, [(3, None, 5, "insert"), (1, None, 10, "delete")])
+    mv2 = maintain(mv1, changes, prev, ["id"], ["grp"], _measures())
+    new_state = _state(spark, [(3, None, 5), (2, "b", 20)])
+    assert _mv_dict(mv2) == _mv_dict(mv_compute(new_state, ["grp"], _measures()))
+    assert _mv_dict(mv2)[None] == (1, 5)

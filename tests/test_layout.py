@@ -74,6 +74,14 @@ def test_repartition_clusters_and_sorts(spark):
     assert sum(len(v) for v in by_pid.values()) == len(pts)
     for pid, zs in by_pid.items():
         assert zs == sorted(zs), f"partition {pid} not z-sorted"
+    # range partitioning: partitions hold contiguous, non-interleaved z
+    # runs (a hash repartition would mix non-adjacent buckets and void
+    # the bounding-box pruning property)
+    spans = sorted(
+        (min(zs), max(zs)) for zs in by_pid.values() if zs
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "partitions interleave in z"
 
 
 def test_validation(spark):

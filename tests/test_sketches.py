@@ -136,3 +136,15 @@ def test_kmv_estimate_portable_arithmetic(spark):
     (r,) = kmv_estimate(df, "key", k=k).collect()
     assert r["kth_hash"] == hk
     assert r["est_distinct"] == expect
+
+
+def test_kmv_excludes_null_values(spark):
+    """A NULL value hashes to NULL and must not usurp a bottom-k slot
+    (Spark sorts NULLS FIRST; DuckDB NULLS LAST — excluding them keeps
+    the kept set identical on both engines)."""
+    vals = [(f"v{i}",) for i in range(40)] + [(None,)]
+    df = spark.createDataFrame(vals, "key string")
+    ks = [r["h"] for r in kmv_build(df, "key", k=8).collect()]
+    assert len(ks) == 8 and all(h is not None for h in ks)
+    expect = sorted(_h(f"v{i}")[0] for i in range(40))[:8]
+    assert ks == expect

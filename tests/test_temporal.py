@@ -201,3 +201,17 @@ def test_recrawl_schedule_rejects_min_changes_below_two(spark):
     log = spark.createDataFrame([("A", dt.datetime(2026, 1, 1))], "url string, ts timestamp")
     with _pytest.raises(ValueError):
         recrawl_schedule(log, "url", "ts", asof_us=0, min_changes=1)
+
+
+def test_recrawl_overdue_null_when_asof_precedes_last_change(spark):
+    """Events timestamped after asof (clock skew / future-dated source
+    times) must yield NULL overdue, not engine-divergent negative
+    division (Spark div truncates, SQL // floors)."""
+    from gobblin_spark.operators.temporal import recrawl_schedule
+
+    log = spark.createDataFrame(
+        [("A", dt.datetime(2026, 1, 1)), ("A", dt.datetime(2026, 6, 1))],
+        "url string, ts timestamp",
+    )
+    (r,) = recrawl_schedule(log, "url", "ts", asof_us=0).collect()
+    assert r["mean_gap_us"] is not None and r["overdue_e3"] is None
