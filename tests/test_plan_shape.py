@@ -282,3 +282,74 @@ def test_pack_shards_single_exchange(spark, tmp_path):
     # exactly one data shuffle: the hashpartitioning on _bkt for the Window
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_cms_probe_and_bloom_probe_have_no_exchange(spark):
+    """The sketch/filter probes embed their state as plan literals — the
+    claimed ZERO-shuffle property must be visible in the plan."""
+    from gobblin_spark.operators.membership import bloom_probe
+    from gobblin_spark.operators.sketches import cms_estimate
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    probed = cms_estimate(df, "key", [0] * (4 * 64), 4, 64)
+    plan = _explain(probed, "simple")
+    assert "Exchange" not in plan, plan
+    bp = bloom_probe(df, "key", [0] * 32, 2048, 2)
+    plan = _explain(bp, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_kmv_build_is_take_ordered(spark):
+    """The bottom-k must execute as TakeOrdered (per-partition top-k +
+    driver merge), never a global sort exchange."""
+    from gobblin_spark.operators.sketches import kmv_build
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    plan = _explain(kmv_build(df, "key", 16), "simple")
+    assert "TakeOrdered" in plan, plan
+    # the only exchange is the distinct's hash aggregate
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_group_quantiles_single_exchange(spark):
+    from gobblin_spark.operators.quantiles import group_quantiles
+
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", i) for i in range(100)], "g string, v long"
+    )
+    plan = _explain(group_quantiles(df, ["g"], "v", [5000]), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_zorder_value_is_pure_codegen(spark):
+    """The Morton interleave must stay inside WholeStageCodegen with no
+    exchange and no Python."""
+    from gobblin_spark.operators.layout import z_prefix_bucket, z_value
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    out = df.select(z_prefix_bucket(z_value(F.col("x"), F.col("y"), 16), 16, 6))
+    plan = _explain(out, "simple")
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_mv_maintenance_exchange_budget(spark):
+    """mv_delta + mv_apply: per-group partial aggregates collapse before
+    shuffles; the whole maintenance step stays within a small constant
+    exchange budget (no per-row joins, no driver loops)."""
+    from gobblin_spark.operators.incremental_agg import maintain, mv_compute
+
+    prev = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(30)],
+        "id long, grp string, amount long",
+    )
+    changes = spark.createDataFrame(
+        [(1, "g1", 5, "update"), (40, "g0", 7, "insert")],
+        "id long, grp string, amount long, _change_type string",
+    )
+    mv = mv_compute(prev, ["grp"], {"mv_sum": F.col("amount")})
+    out = maintain(mv, changes, prev, ["id"], ["grp"], {"mv_sum": F.col("amount")})
+    plan = _explain(out, "simple")
+    # budget: aggregates on three legs + semi-join sides + final merge;
+    # the essential claim is O(1) exchanges independent of data volume
+    assert plan.count("Exchange") <= 8, plan
+    assert "CartesianProduct" not in plan
