@@ -762,6 +762,42 @@ def q_docs_shuffle_export(spark, sf_dir):
     )
 
 
+def q_docs_chunking(spark, sf_dir):
+    """Context-window chunking (textstats.chunk_documents — the step
+    that turns long documents into model-window-sized training examples
+    with cross-boundary overlap): 500-char chunks on stride 450, pure
+    codegen sequence/transform/substring — the text column never
+    shuffles, documents are never dropped (empty/NULL text yields one
+    empty chunk). n_chunks = 1 + ceil((len-500)/450) in portable
+    arithmetic; the oracle re-derives every chunk with substr and
+    compares md5 per (doc, chunk)."""
+    from gobblin_spark.operators.textstats import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), chunk_chars=500, overlap=50, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_len",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+def q_docs_vocabulary(spark, sf_dir):
+    """Corpus token vocabulary (textstats.token_vocabulary — the
+    tokenizer-training / stopword-discovery input): top-100 tokens by
+    frequency on the same portable lower+split rail as TF-IDF, ranked
+    by the deterministic (count desc, token asc) total order and
+    executed as TakeOrdered (per-partition top-k + driver merge, no
+    full sort). The oracle replays tokenize+count+rank in SQL."""
+    from gobblin_spark.operators.textstats import token_vocabulary
+
+    return token_vocabulary(_docs(spark, sf_dir), k=100, min_len=1).select(
+        "token", "n_occurrences", "rank"
+    )
+
+
 def q_docs_quality_quantiles(spark, sf_dir):
     """Exact per-group quantiles (operators/quantiles.py — the
     calibration step of quality gating: per-language thresholds like
@@ -2288,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_quantiles": q_docs_quality_quantiles,
         "events_zorder_layout": q_events_zorder_layout,
         "docs_shuffle_export": q_docs_shuffle_export,
+        "docs_chunking": q_docs_chunking,
+        "docs_vocabulary": q_docs_vocabulary,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3650,6 +3688,42 @@ def oracle_sql() -> dict[str, str]:
             FROM latest GROUP BY event_type
         """,
         "events_zorder_layout": _zorder_oracle_sql(),
+        "docs_chunking": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     length(coalesce(text, '')) AS len
+              FROM documents
+            ), n AS (
+              SELECT doc_id, t, len,
+                     CASE WHEN len <= 500 THEN 1
+                          ELSE 1 + CAST(ceil((len - 500) / 450.0) AS BIGINT)
+                     END AS n_chunks
+              FROM d
+            )
+            SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_id,
+                   length(substr(t, CAST(c.i * 450 + 1 AS INT), 500))
+                     AS chunk_len,
+                   md5(substr(t, CAST(c.i * 450 + 1 AS INT), 500))
+                     AS chunk_md5
+            FROM n, LATERAL unnest(range(0, n_chunks)) AS c(i)
+        """,
+        "docs_vocabulary": """
+            WITH toks AS (
+              SELECT t.token
+              FROM documents d,
+                   LATERAL unnest(string_split_regex(
+                     lower(coalesce(d.text, '')), '[^a-z]+')) AS t(token)
+              WHERE length(t.token) >= 1
+            ), counts AS (
+              SELECT token, count(*) AS n_occurrences
+              FROM toks GROUP BY token
+            )
+            SELECT token, n_occurrences,
+                   CAST(row_number() OVER (
+                     ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+            FROM counts
+            ORDER BY n_occurrences DESC, token LIMIT 100
+        """,
         "docs_shuffle_export": """
             WITH hashed AS (
               SELECT doc_id,

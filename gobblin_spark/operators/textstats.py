@@ -262,3 +262,95 @@ def tfidf_keywords(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character chunks —
+    the context-window preparation step of a training pipeline (long
+    documents must become model-window-sized examples; the overlap
+    preserves cross-boundary context).
+
+    Chunk i covers [1 + i*stride, 1 + i*stride + chunk_chars) with
+    stride = chunk_chars - overlap; the last chunk may be shorter. A
+    document of length <= chunk_chars yields exactly one chunk; NULL or
+    empty text yields one empty chunk (documents are never dropped —
+    the same conservation contract as the span scrubber).
+
+    n_chunks = 1 + ceil((len - chunk_chars)/stride) for longer docs, in
+    pure integer arithmetic, so the chunking is engine-portable. Plan:
+    sequence + transform + explode per row — whole-stage codegen, the
+    text column never shuffles, no Python.
+    """
+    if overlap < 0 or overlap >= chunk_chars:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got {overlap}/{chunk_chars}"
+        )
+    stride = chunk_chars - overlap
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(text)
+    # ceil((len - chunk)/stride): operands < 2^31, double-exact on both
+    # engines before the floor
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor((ln - chunk_chars + stride - 1) / F.lit(stride)).cast("long")
+    )
+    return docs.select(
+        F.col(id_col),
+        ln.cast("long").alias("doc_len"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks.cast("int")),
+                lambda i: F.substring(
+                    text, ((i - 1) * stride + 1).cast("int"), chunk_chars
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).withColumn("chunk_len", F.length("chunk_text").cast("long"))
+
+
+def token_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 1000,
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary — the top-k tokens by frequency (the
+    tokenizer-training / stopword-discovery input). Tokenization is the
+    same portable lower+split rail as tfidf_keywords; ranking is fully
+    deterministic via the (count desc, token asc) total order, so the
+    exact vocabulary is oracle-checkable.
+
+    Plan: in-row tokenize (codegen) → explode → ONE map-side-combinable
+    count per token → global top-k as TakeOrdered (per-partition top-k +
+    driver merge, never a full sort). Output: (token, n_occurrences,
+    rank 1..k)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+                lambda t: F.length(t) >= min_len,
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    ranked = (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            ).cast("long"),
+        )
+    )
+    return ranked
