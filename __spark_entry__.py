@@ -798,6 +798,26 @@ def q_docs_vocabulary(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (operators/temporal.py funnel_steps —
+    sessionize's sibling in the downstream family a CDC event feed
+    serves): per user, the earliest view -> click -> purchase completion
+    times where each step counts only STRICTLY after the previous one
+    (min is a unique value, so no tie-break protocol is needed and the
+    definition is engine-portable). ONE shuffle on the key; the three
+    conditional-min windows share the partitioning and the final groupBy
+    reuses it. The oracle chains three scalar min-filters in SQL."""
+    from gobblin_spark.operators.temporal import funnel_steps
+
+    out = funnel_steps(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+    return out.select(
+        "user_id", "ts_step1", "ts_step2", "ts_step3", "steps_completed"
+    )
+
+
 def q_docs_quality_quantiles(spark, sf_dir):
     """Exact per-group quantiles (operators/quantiles.py — the
     calibration step of quality gating: per-language thresholds like
@@ -2326,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_export": q_docs_shuffle_export,
         "docs_chunking": q_docs_chunking,
         "docs_vocabulary": q_docs_vocabulary,
+        "events_funnel": q_events_funnel,
         # -- driver-green in r4, cheap --
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_lww_window": q_cdc_lww_window,
@@ -3688,6 +3709,34 @@ def oracle_sql() -> dict[str, str]:
             FROM latest GROUP BY event_type
         """,
         "events_zorder_layout": _zorder_oracle_sql(),
+        "events_funnel": """
+            WITH keys AS (
+              SELECT DISTINCT user_id FROM events
+            ), s1 AS (
+              SELECT k.user_id, (SELECT min(ts) FROM events e
+                 WHERE e.user_id = k.user_id AND e.event_type = 'view')
+                AS ts_step1
+              FROM keys k
+            ), s2 AS (
+              SELECT s1.*, (SELECT min(ts) FROM events e
+                 WHERE e.user_id = s1.user_id AND e.event_type = 'click'
+                   AND s1.ts_step1 IS NOT NULL AND e.ts > s1.ts_step1)
+                AS ts_step2
+              FROM s1
+            ), s3 AS (
+              SELECT s2.*, (SELECT min(ts) FROM events e
+                 WHERE e.user_id = s2.user_id AND e.event_type = 'purchase'
+                   AND s2.ts_step2 IS NOT NULL AND e.ts > s2.ts_step2)
+                AS ts_step3
+              FROM s2
+            )
+            SELECT user_id, ts_step1, ts_step2, ts_step3,
+                   CAST(CASE WHEN ts_step1 IS NULL THEN 0
+                        WHEN ts_step2 IS NULL THEN 1
+                        WHEN ts_step3 IS NULL THEN 2 ELSE 3 END AS BIGINT)
+                     AS steps_completed
+            FROM s3
+        """,
         "docs_chunking": """
             WITH d AS (
               SELECT doc_id, coalesce(text, '') AS t,

@@ -265,3 +265,56 @@ def recrawl_schedule(
             F.expr(f"(({int(asof_us)} - last_us) * 1000) div mean_gap_us"),
         ),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis over an event stream: per key, the
+    earliest timestamp at which each step completes IN ORDER — step i
+    counts only strictly after step i-1's completion time (the classic
+    product-analytics funnel; sessionize's sibling in the downstream
+    family a CDC event feed serves).
+
+    Semantics: t_1 = min ts of step 1; t_i = min ts of step i with
+    ts > t_{i-1}. Strict ordering on the raw timestamp keeps the
+    definition engine-portable with no tie-break protocol — min() is a
+    unique VALUE even when rows tie. Unreached steps are NULL and
+    ``steps_completed`` counts the filled prefix.
+
+    Plan: ONE shuffle on the key; each step is a conditional min window
+    over the same partitioning (Catalyst chains them without further
+    exchanges), then a groupBy that reuses the partitioning. No joins,
+    no per-row state, no Python — cost is k window passes over
+    key-partitioned data, k = funnel length.
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    w = Window.partitionBy(key_col)
+    out = events
+    prev: Column | None = None
+    t_cols = []
+    for i, s in enumerate(steps, 1):
+        cond = F.col(step_col) == s
+        if prev is not None:
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+        c = f"ts_step{i}"
+        out = out.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(c)
+        t_cols.append(c)
+    agg = out.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in t_cols]
+    )
+    completed = F.lit(0)
+    # the filled prefix: step i counts only if every earlier step filled
+    prefix = F.lit(True)
+    for c in t_cols:
+        prefix = prefix & F.col(c).isNotNull()
+        completed = completed + F.when(prefix, 1).otherwise(0)
+    return agg.withColumn("steps_completed", completed.cast("long"))

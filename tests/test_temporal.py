@@ -215,3 +215,45 @@ def test_recrawl_overdue_null_when_asof_precedes_last_change(spark):
     )
     (r,) = recrawl_schedule(log, "url", "ts", asof_us=0).collect()
     assert r["mean_gap_us"] is not None and r["overdue_e3"] is None
+
+
+def test_funnel_steps_ordered_semantics(spark):
+    from gobblin_spark.operators.temporal import funnel_steps
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1 completes A(5) -> B(10) -> C(20); earlier B(2) must NOT count
+        ("u1", ts(2), "B"), ("u1", ts(5), "A"), ("u1", ts(10), "B"), ("u1", ts(20), "C"),
+        # u2: A and B at the SAME instant — strict ordering rejects B
+        ("u2", ts(5), "A"), ("u2", ts(5), "B"),
+        # u3: only C — no steps complete (prefix empty)
+        ("u3", ts(1), "C"),
+        # u4: A twice; earliest counts
+        ("u4", ts(9), "A"), ("u4", ts(3), "A"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, step string")
+    out = {
+        r["user"]: (r["ts_step1"], r["ts_step2"], r["ts_step3"], r["steps_completed"])
+        for r in funnel_steps(df, "user", "ts", "step", ["A", "B", "C"]).collect()
+    }
+    assert out["u1"] == (ts(5), ts(10), ts(20), 3)
+    assert out["u2"] == (ts(5), None, None, 1)
+    assert out["u3"] == (None, None, None, 0)
+    assert out["u4"] == (ts(3), None, None, 1)
+
+
+def test_funnel_steps_validation(spark):
+    import pytest as _pytest
+
+    from gobblin_spark.operators.temporal import funnel_steps
+
+    df = spark.createDataFrame([("u", dt.datetime(2026, 1, 1), "A")],
+                               "user string, ts timestamp, step string")
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "user", "ts", "step", ["A", "A"])
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "user", "ts", "step", [])
