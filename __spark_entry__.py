@@ -166,7 +166,32 @@ FROM (
 # the driver may run every contract query in its own interpreter — a
 # module-global would never hit.
 
-_FIXTURE_VERSION = "r5-1"  # bump to invalidate cached on-disk fixtures
+_FIXTURE_VERSION = "r5-2"  # bump to invalidate cached on-disk fixtures
+
+
+def _code_sig() -> str:
+    """Content digest of the code that BUILDS the cached fixtures (the
+    engine/lake path plus this file). Keyed into every fixture name so a
+    semantics or layout change can never be masked by a stale /tmp table
+    built by older code — the manual version bump is a fallback, not the
+    safety mechanism."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = [
+        os.path.join(here, "__spark_entry__.py"),
+        *[
+            os.path.join(here, "gobblin_spark", f)
+            for f in (
+                "engine.py", "lake.py", "dedup.py", "planner.py",
+                "schema.py", "state.py", "extract.py",
+                os.path.join("operators", "patch.py"),
+            )
+        ],
+    ]
+    h = hashlib.sha256()
+    for f in sorted(files):
+        with open(f, "rb") as fh:
+            h.update(hashlib.sha256(fh.read()).digest())
+    return h.hexdigest()[:12]
 
 
 def _engine_changelog(ev: DataFrame) -> DataFrame:
@@ -238,7 +263,8 @@ def _shared_fixture(sf_dir: str, name: str, builder) -> str:
     base = os.path.join(tempfile.gettempdir(), "gobblin-entry-fixtures")
     os.makedirs(base, exist_ok=True)
     key = hashlib.sha256(
-        f"{_FIXTURE_VERSION}|{os.path.abspath(sf_dir)}|{_testdata_sig(sf_dir)}".encode()
+        f"{_FIXTURE_VERSION}|{_code_sig()}|{os.path.abspath(sf_dir)}|"
+        f"{_testdata_sig(sf_dir)}".encode()
     ).hexdigest()[:12]
     root = os.path.join(base, f"{name}-{key}")
     if os.path.isdir(root):

@@ -633,10 +633,14 @@ def duplicate_spans(
       text column (pure codegen, zero Python) and only ``(id, pos, hash60)``
       triples ever explode or shuffle — ~24 bytes per window, text/stride
       bytes per document, the text itself never leaves the scan stage;
-    - the corpus-wide frequency pass is ONE window over the 8-byte hash
-      (count + min/max doc id decide duplication — no distinct count, no
-      groupBy+rejoin, so the explode+hash scan of the corpus runs exactly
-      once; the window's sort is over 24-byte triples, not text);
+    - the corpus-wide frequency pass is a map-side-combinable aggregate
+      over the 8-byte hash (count + min/max doc id decide duplication —
+      no distinct count) followed by a semi-join of the triples against
+      the duplicated-hash set; a hot boilerplate hash pre-combines per
+      map task and the join's stream side is AQE-skew-splittable — no
+      operator ever needs one hash's full occurrence list in one task
+      (the window-function alternative computes frequency in one corpus
+      scan but funnels exactly that list into a single sort);
     - span merging is a per-document window function — parallelism is the
       number of documents, per-task state is O(windows per doc) ≤ doclen/stride.
 
@@ -676,26 +680,31 @@ def duplicate_spans(
 
     from pyspark.sql import Window
 
-    # corpus frequency as a WINDOW over the hash key, not groupBy+rejoin:
-    # a rejoin evaluates `wins` twice — the explode+md5 over the whole
-    # corpus is the dominant cost and would be re-scanned end to end; the
-    # window computes it once behind a single shuffle on h (the sort it
-    # adds is over 24-byte triples, far cheaper than re-hashing the text)
-    wh = Window.partitionBy("h")
+    # corpus frequency as a map-side-combinable AGGREGATE + semi-join,
+    # NOT a window over the hash key: a `Window.partitionBy("h")` must
+    # sort EVERY occurrence of a hash inside one task, and web text has
+    # exactly the input that breaks it — one boilerplate window (shared
+    # banner/template text) occurring in nearly every document funnels
+    # ~|corpus| triples into a single sort. The aggregate pre-combines a
+    # hot hash per map task (reducer sees #tasks rows however hot), the
+    # dup set is duplicated-hashes-only (small relative to all hashes),
+    # and the semi-join's stream side is AQE-skew-splittable. Price:
+    # `wins` is evaluated twice (the explode+hash scan of the corpus) —
+    # codegen-cheap, and the only shape that cannot OOM on a hot hash.
     dup_cond = F.col("n_occ") >= 2
     if cross_doc_only:
         dup_cond = dup_cond & (F.col("min_id") != F.col("max_id"))
-    hits = (
-        wins.select(
-            "id",
-            "pos",
-            F.count(F.lit(1)).over(wh).alias("n_occ"),
-            F.min("id").over(wh).alias("min_id"),
-            F.max("id").over(wh).alias("max_id"),
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
         )
         .filter(dup_cond)
-        .select("id", "pos")
+        .select("h")
     )
+    hits = wins.join(dup, "h", "left_semi").select("id", "pos")
 
     order = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + w).over(

@@ -95,7 +95,13 @@ def mv_delta(
 
     def signed(df: DataFrame, sign: int) -> DataFrame:
         aggs = [F.sum(F.lit(sign)).cast("long").alias("mv_count")] + [
-            (F.lit(sign) * F.sum(expr)).cast("long").alias(name)
+            # coalesce BEFORE signing: an all-NULL measure leg must
+            # contribute 0, matching mv_compute's coalesced sums — else a
+            # group born from all-NULL rows carries measure=NULL in the
+            # maintained MV but 0 in a recompute
+            (F.lit(sign) * F.coalesce(F.sum(expr), F.lit(0)))
+            .cast("long")
+            .alias(name)
             for name, expr in measures.items()
         ]
         return df.groupBy(*group_cols).agg(*aggs)
@@ -105,7 +111,7 @@ def mv_delta(
         signed(plus, 1)
         .unionByName(signed(minus_del.unionByName(minus_pre, allowMissingColumns=True), -1))
         .groupBy(*group_cols)
-        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+        .agg(*[F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c) for c in cols])
     )
     return out
 

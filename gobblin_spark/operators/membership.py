@@ -120,15 +120,33 @@ def dedup_against_history_bloom(
     key_expr: Column,
     m_bits: int = 1 << 20,
     k: int = 4,
+    history_keys: DataFrame | None = None,
 ) -> DataFrame:
     """The two-phase incremental-dedup pipeline: Bloom-prefilter the new
     batch against the history's key filter, then exact-anti-join ONLY the
     "maybe" residue (false-positive rescue). Output = new rows whose key
     truly never appeared in history. Definite-no rows (the bulk) never
     touch the join; the join's left side shrinks to fp·|new| + true-dups.
+
+    Cache lifecycle: when the operator derives the key set itself it
+    persists it (both the eager filter build and the lazy rescue consume
+    it); the cached partitions are released by Spark's ContextCleaner
+    once the returned plan is executed and dropped — bounded by driver
+    GC, not by session lifetime. A long-lived per-batch caller should
+    instead pass ``history_keys`` (a single ``_bloom_key`` column it
+    persists ONCE and reuses across batches), which this function then
+    never re-persists — the caller owns unpersist().
     """
     key = "_bloom_key"
     nb = new_batch.withColumn(key, key_expr)
+    if history_keys is not None:
+        words = bloom_words(history_keys, key, m_bits, k)
+        probed = bloom_probe(nb, key, words, m_bits, k)
+        novel = probed.filter(~F.col("maybe_member"))
+        rescued = probed.filter(F.col("maybe_member")).join(
+            history_keys, key, "left_anti"
+        )
+        return novel.unionByName(rescued).drop("maybe_member", key)
     # persist the distinct keys: both the filter build (eager collect, runs
     # now) and the rescue anti-join (lazy, runs when the caller acts)
     # consume them, and the history scan + distinct shuffle is the most

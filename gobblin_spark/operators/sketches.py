@@ -121,17 +121,30 @@ def hot_keys(
     threshold: int,
     depth: int = 4,
     width: int = 1024,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hot-key detection for the salting decision (dedup.lww_salted /
-    SURVEY §2.2 skew handling): distinct keys whose CM estimate >= the
-    threshold. Because CM never under-counts, every truly-hot key is
-    returned (no false negatives — the property the salting decision
-    needs); collision mass can promote a few cold keys, which costs a
-    harmless extra salt. Output: (key, est_count), <= the number of
-    distinct keys but in practice tiny; the caller broadcasts it."""
+    SURVEY §2.2 skew handling): keys whose CM estimate >= the threshold.
+    Because CM never under-counts, every truly-hot key is returned (no
+    false negatives — the property the salting decision needs);
+    collision mass can promote a few cold keys, which costs a harmless
+    extra salt. Output: (key, est_count); the caller broadcasts it.
+
+    ``candidates`` is the probe set (single column named ``key``). THIS
+    is where the sketch pays for itself: probe a NEW batch's keys — or
+    next hour's stream — against a sketch built on an earlier window,
+    with zero shuffle per probe. When ``candidates`` is omitted the
+    probe set is df's own distinct keys, which costs the same
+    map-side-combinable shuffle as an exact ``groupBy(key).count()`` —
+    correct, but the exact count would do as well; reuse across batches
+    is the reason to sketch."""
     value = F.col(col) if isinstance(col, str) else col
     table = cms_table(df, value, depth, width)
-    keys = df.select(value.alias("key")).distinct()
+    keys = (
+        candidates
+        if candidates is not None
+        else df.select(value.alias("key")).distinct()
+    )
     return cms_estimate(keys, "key", table, depth, width).filter(
         F.col("est_count") >= threshold
     )

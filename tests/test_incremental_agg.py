@@ -210,3 +210,16 @@ def test_null_group_merges_not_splits(spark):
     new_state = _state(spark, [(3, None, 5), (2, "b", 20)])
     assert _mv_dict(mv2) == _mv_dict(mv_compute(new_state, ["grp"], _measures()))
     assert _mv_dict(mv2)[None] == (1, 5)
+
+
+def test_new_group_with_all_null_measure_matches_recompute(spark):
+    """Regression: a group born entirely from NULL-measure rows must
+    carry measure 0 in the maintained MV (as mv_compute does), not NULL
+    (F.sum over all-NULL)."""
+    prev = _state(spark, [(1, "a", 10)])
+    mv1 = mv_compute(prev, ["grp"], _measures())
+    changes = _changes(spark, [(2, "z", None, "insert"), (3, "z", None, "insert")])
+    mv2 = maintain(mv1, changes, prev, ["id"], ["grp"], _measures())
+    new_state = _state(spark, [(1, "a", 10), (2, "z", None), (3, "z", None)])
+    assert _mv_dict(mv2) == _mv_dict(mv_compute(new_state, ["grp"], _measures()))
+    assert _mv_dict(mv2)["z"] == (2, 0)
